@@ -1,0 +1,231 @@
+"""PageRank / ArticleRank / Eigenvector — delta-push power iteration.
+
+Reference semantics (algo/src/main/java/org/neo4j/gds/pagerank/
+PageRankComputation.java:59-108), reproduced EXACTLY:
+
+- init: ``rank = delta = 1 - dampingFactor`` (alpha) for all nodes — or only
+  ``sourceNodes`` when personalized, others 0 (L65-74).
+- superstep: ``new_delta = dampingFactor * sum(incoming messages)``;
+  ``rank += new_delta`` (L81-88).
+- a node sends ``delta / degree`` to out-neighbors iff ``delta > tolerance``
+  or it is the initial superstep (L90-94). A node with out-degree 0 sends
+  nothing — **dangling mass is NOT redistributed** and scores are NOT
+  normalized (sink-only nodes converge to exactly ``1-d`` = 0.15).
+- weighted: message × edge weight; the sending degree is the weighted degree
+  summing only weights > 0 (algo/.../degree/DegreeCentrality.java:315-319;
+  negative/zero weights ignored).
+- messages merged by sum — the ReducingMessenger combiner
+  (pregel/.../ReducingMessenger.java:42-100) = Spark's partial-aggregated
+  ``groupBy(dst).sum`` (map-side combine is the combiner).
+- converged when no node sends (all deltas ≤ tolerance) — vote-to-halt.
+
+Config defaults mirror PageRankConfig.java:41-66: dampingFactor 0.85,
+tolerance 1e-7, maxIterations 20, optional sourceNodes / weights / scaler.
+
+Spark plan per superstep: one shuffle join (edges ⋈ active senders on src —
+AQE skew-join splits hub sources) + one partial-aggregated shuffle sum on dst
+(optionally salted two-level via ``skew_salt``) + one join back onto state.
+State is persisted per superstep and lineage is broken periodically by the
+Pregel driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.plans.partitioning import two_level_sum
+from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
+from graph_data_science_spark.operators.scale_properties import apply_scaler
+
+
+@dataclass
+class PageRankResult:
+    scores: DataFrame  # (node_id, score)
+    ran_iterations: int
+    converged: bool
+    metrics: list[dict]
+
+
+def _prep_edges(graph: Graph, weighted: bool) -> DataFrame:
+    if weighted:
+        if not graph.has_weight():
+            raise ValueError("weighted PageRank requires edges.weight")
+        return graph.edges.select("src", "dst", "weight").where(F.col("weight") > 0.0)
+    return graph.edges.select("src", "dst")
+
+
+def pagerank(
+    graph: Graph,
+    damping_factor: float = 0.85,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+    weighted: bool = False,
+    source_nodes: list[int] | None = None,
+    scaler: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    skew_salt: int = 0,
+    mode: str = "join",
+) -> PageRankResult:
+    """GDS ``gds.pageRank`` analog. Returns (node_id, score) + run stats."""
+    return _delta_push(
+        graph, damping_factor, tolerance, max_iterations, weighted, source_nodes,
+        scaler, checkpoint_dir, resume, skew_salt, degree_shift=0.0, mode=mode,
+    )
+
+
+def article_rank(
+    graph: Graph,
+    damping_factor: float = 0.85,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+    weighted: bool = False,
+    source_nodes: list[int] | None = None,
+    scaler: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> PageRankResult:
+    """``gds.articleRank``: PageRank variant dividing by (degree + avgDegree)
+    (algo/.../pagerank/ArticleRankComputation.java; avg degree from
+    PageRankAlgorithmFactory.java:51-60)."""
+    edges = _prep_edges(graph, weighted)
+    deg = graph.degrees("out", weighted=weighted)
+    avg_degree = (
+        deg.agg(F.avg("degree")).first()[0] or 0.0
+    )
+    return _delta_push(
+        graph, damping_factor, tolerance, max_iterations, weighted, source_nodes,
+        scaler, checkpoint_dir, False, 0, degree_shift=float(avg_degree), mode="join",
+    )
+
+
+def _delta_push(
+    graph: Graph,
+    damping_factor: float,
+    tolerance: float,
+    max_iterations: int,
+    weighted: bool,
+    source_nodes: list[int] | None,
+    scaler: str | None,
+    checkpoint_dir: str | None,
+    resume: bool,
+    skew_salt: int,
+    degree_shift: float,
+    mode: str,
+) -> PageRankResult:
+    spark = graph.nodes.sparkSession
+    alpha = 1.0 - damping_factor
+    edges = _prep_edges(graph, weighted).persist()
+
+    deg = graph.degrees("out", weighted=weighted)
+    if source_nodes is not None:
+        init_rank = F.when(F.col("node_id").isin([int(s) for s in source_nodes]),
+                           F.lit(alpha)).otherwise(F.lit(0.0))
+    else:
+        init_rank = F.lit(alpha)
+    state = deg.select(
+        "node_id",
+        (F.col("degree") + F.lit(degree_shift)).alias("degree"),
+        init_rank.alias("rank"),
+        init_rank.alias("delta"),
+        # initial superstep sends regardless of tolerance (PageRankComputation
+        # L90: `delta > tolerance || isInitialSuperstep`); zero-delta nodes
+        # would send zeros — skip them, which is message-equivalent.
+        (init_rank > 0.0).cast("int").alias(ACTIVE_COL),
+    )
+
+    msg_val = F.col("delta") / F.col("degree")
+    if weighted:
+        msg_val = msg_val * F.col("weight")
+
+    def step(st: DataFrame, superstep: int) -> DataFrame:
+        senders = st.where(F.col(ACTIVE_COL) == 1).select("node_id", "delta", "degree")
+        raw = edges.join(senders, edges.src == senders.node_id, "inner").select(
+            F.col("dst"), msg_val.alias("m")
+        )
+        if skew_salt and skew_salt > 1:
+            msgs = two_level_sum(raw, "dst", "m", "msg", salt_buckets=skew_salt)
+        else:
+            msgs = raw.groupBy("dst").agg(F.sum("m").alias("msg"))
+        joined = st.join(msgs, st.node_id == msgs.dst, "left")
+        new_delta = F.coalesce(F.lit(damping_factor) * F.col("msg"), F.lit(0.0))
+        return joined.select(
+            st.node_id,
+            st.degree,
+            (F.col("rank") + new_delta).alias("rank"),
+            new_delta.alias("delta"),
+            (new_delta > F.lit(tolerance)).cast("int").alias(ACTIVE_COL),
+        )
+
+    # GDS counts the send-only initial superstep in maxIterations
+    # (Pregel.java:172-210 runs maxIterations supersteps, the first of which
+    # only sends) — so the number of message exchanges is maxIterations - 1.
+    driver = Pregel(
+        spark,
+        max_iterations=max(0, max_iterations - 1),
+        checkpoint_dir=checkpoint_dir,
+        extra_metrics={"delta_max": F.max("delta"), "rank_sum": F.sum("rank")},
+    )
+    res = driver.run(state, step, resume=resume)
+    edges.unpersist()
+    scores = res.state.select("node_id", F.col("rank").alias("score"))
+    if scaler:
+        scores = apply_scaler(scores, "score", scaler)
+    return PageRankResult(scores, res.ran_iterations + 1, res.converged, res.metrics)
+
+
+def eigenvector(
+    graph: Graph,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+    weighted: bool = False,
+    checkpoint_dir: str | None = None,
+) -> PageRankResult:
+    """``gds.eigenvector``: no damping; per-superstep global L2 normalization
+    + max-diff convergence in masterCompute
+    (algo/.../pagerank/EigenvectorComputation.java:115-156)."""
+    spark = graph.nodes.sparkSession
+    edges = _prep_edges(graph, weighted).persist()
+    n = graph.node_count()
+    init = 1.0 / (n ** 0.5) if n else 0.0
+    state = graph.nodes.select(
+        "node_id", F.lit(init).alias("rank"), F.lit(1).cast("int").alias(ACTIVE_COL)
+    )
+
+    mval = F.col("rank") * F.col("weight") if weighted else F.col("rank")
+
+    def step(st: DataFrame, superstep: int) -> DataFrame:
+        senders = st.select("node_id", "rank")
+        msgs = (
+            edges.join(senders, edges.src == senders.node_id, "inner")
+            .select(F.col("dst"), mval.alias("m"))
+            .groupBy("dst").agg(F.sum("m").alias("msg"))
+        )
+        joined = st.join(msgs, st.node_id == msgs.dst, "left").select(
+            st.node_id, st.rank.alias("old_rank"),
+            F.coalesce(F.col("msg"), F.lit(0.0)).alias("unnorm"),
+        )
+        norm = joined.agg(F.sqrt(F.sum(F.col("unnorm") ** 2)).alias("_norm"))
+        return (
+            joined.crossJoin(F.broadcast(norm))
+            .select(
+                "node_id",
+                F.when(F.col("_norm") > 0, F.col("unnorm") / F.col("_norm"))
+                .otherwise(F.lit(0.0)).alias("rank"),
+                "old_rank",
+            )
+            .select(
+                "node_id", "rank",
+                (F.abs(F.col("rank") - F.col("old_rank")) > tolerance).cast("int").alias(ACTIVE_COL),
+            )
+        )
+
+    driver = Pregel(spark, max_iterations=max_iterations, checkpoint_dir=checkpoint_dir)
+    res = driver.run(state, step)
+    edges.unpersist()
+    return PageRankResult(
+        res.state.select("node_id", F.col("rank").alias("score")),
+        res.ran_iterations, res.converged, res.metrics,
+    )
