@@ -1,0 +1,185 @@
+"""Deduplication suite for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard — the standard near-dup ladder for 100 TB
+corpora. All hashing is md5-based so every operator has a bit-identical
+DuckDB oracle (md5 hex strings order lexicographically the same everywhere;
+minhash over hex strings is a valid uniform min).
+
+Scale notes:
+- exact dedup is one partial-aggregated ``groupBy(md5(text))`` — the combiner
+  collapses dups map-side, so shuffle volume is #distinct rows.
+- MinHash signatures are computed via explode(shingles) →
+  ``groupBy(doc, hash_idx).min`` — both aggs partial-aggregatable; the LSH
+  band join shuffles only (band_id, band_hash) pairs, never text.
+- n-gram Jaccard joins docs on shared shingles; its cost is bounded by
+  dropping shingles that occur in too many docs (``max_shingle_freq``) —
+  the classic hot-shingle (boilerplate) skew guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: normalize: lower + collapse runs of whitespace to one space + trim
+def _norm(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def _word_shingles(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array<string>)."""
+    words = F.split(_norm(col), " ")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(_norm(col)))
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash → ``(doc_id, canonical_id, group_size)``.
+
+    ``canonical_id`` = min id among rows with identical normalized text;
+    a row is a duplicate iff ``doc_id != canonical_id``.
+    """
+    hashed = docs.select(id_col, F.md5(_norm(F.col(text_col))).alias("_h"))
+    groups = hashed.groupBy("_h").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        hashed.join(groups, "_h")
+        .select(F.col(id_col).alias("doc_id"), "canonical_id", "group_size")
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signature rows → ``(doc_id, h (hash index), minhash)``.
+
+    Hash family k = md5('k:' || shingle); the minimum is taken over the hex
+    strings (lexicographic = numeric order for fixed-width hex) — portable
+    to any engine with md5.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    ks = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+        F.col("shingle"),
+    )
+    return ks.select(
+        "doc_id", "h",
+        F.md5(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle"))).alias("_hv"),
+    ).groupBy("doc_id", "h").agg(F.min("_hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs → ``(a, b)`` with a < b, distinct.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows; docs
+    sharing any band hash are candidates (standard banding: P(candidate) =
+    1-(1-J^r)^b).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+    band_hash = banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws("=", F.col("h").cast("string"), F.col("minhash"))
+        )))).alias("bh")
+    )
+    left = band_hash.select(F.col("doc_id").alias("a"), "band", "bh")
+    right = band_hash.select(F.col("doc_id").alias("b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.2,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs → ``(a, b, jaccard)`` with a < b,
+    ``jaccard`` rounded to 6dp, pairs with jaccard ≥ threshold.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many docs
+    before the pair join (boilerplate/hot-key guard — changes results, use
+    only when the corpus demands it; default None = exact).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            hot.where(F.col("df") <= max_shingle_freq).select("shingle"),
+            "shingle", "left_semi",
+        )
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a", "b",
+            F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6)
+            .alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32, shingle_n: int = 2) -> DataFrame:
+    """SimHash → ``(doc_id, simhash)`` over word shingles.
+
+    Shingle hash = first 15 hex chars of md5 as a 60-bit int (portable:
+    Spark ``conv(hex,16,10)`` == DuckDB ``CAST('0x'||hex AS BIGINT)``); bit b
+    of the simhash is the majority vote of shingle bit b (sum of ±1 > 0).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    h = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("hv"),
+    )
+    bitted = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("hv"),
+    ).select(
+        "doc_id", "bit",
+        F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1))
+        .otherwise(F.lit(-1)).alias("vote"),
+    )
+    return (
+        bitted.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+            .otherwise(F.lit(0))
+        ).alias("simhash"))
+    )

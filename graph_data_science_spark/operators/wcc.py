@@ -1,0 +1,126 @@
+"""WCC (weakly connected components) — iterative min-label propagation.
+
+Reference semantics (algo/src/main/java/org/neo4j/gds/wcc/Wcc.java:55,104-140):
+parallel union-find over HugeAtomicDisjointSetStruct with **Union-by-Min —
+"the smaller community ID wins"** (core/.../paged/dss/
+HugeAtomicDisjointSetStruct.java:163-180). With unseeded start the resulting
+``setIdOf(node)`` is exactly the **minimum internal node id of the
+component** — which is what min-label propagation converges to, so the two
+formulations produce identical output (SURVEY §2.4).
+
+Config surface mirrors WccBaseConfig.java:30-46:
+- ``threshold``: union only edges with ``weight > threshold``
+  (SampledStrategy.java:258-264 — strictly greater).
+- ``seed_property``: incremental/seeded components — a node starts in
+  component ``seed`` when present, else in a fresh singleton id placed above
+  every seed (``max_seed + 1 + node_id``), matching the reference's
+  seeded DisjointSetStruct layout (HugeAtomicDisjointSetStruct.java:129-146).
+- ``consecutive_ids``: remap result ids to 0..k-1 ordered by component id.
+
+Spark plan per superstep: one shuffle join (mirrored edges ⋈ changed nodes)
++ one partial-aggregated min per dst + one join back. Only nodes whose
+component improved stay active, so the frontier shrinks every superstep —
+the relational analog of union-find's path compression converging. Lineage
+is truncated per superstep by the Pregel driver; at 10^12 edges the mirrored
+edge table is persisted once, hash-partitioned by src, and reused across all
+supersteps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
+
+
+@dataclass
+class WccResult:
+    components: DataFrame  # (node_id, component)
+    ran_iterations: int
+    converged: bool
+    metrics: list[dict]
+
+
+def wcc(
+    graph: Graph,
+    threshold: float | None = None,
+    seed_property: str | None = None,
+    consecutive_ids: bool = False,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> WccResult:
+    """``gds.wcc`` analog. Returns ``(node_id, component)``; component ids are
+    the minimum node id (or seed) in each component."""
+    spark = graph.nodes.sparkSession
+
+    e = graph.edges
+    if threshold is not None:
+        if "weight" not in e.columns:
+            raise ValueError("threshold requires edges.weight")
+        e = e.where(F.col("weight") > float(threshold))
+    # WCC ignores direction: mirror every edge once, up front.
+    e = e.select("src", "dst")
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst")).distinct().persist()
+
+    if seed_property is not None:
+        if seed_property not in graph.nodes.columns:
+            raise ValueError(f"missing seed column {seed_property!r}")
+        max_seed = graph.nodes.agg(F.max(seed_property)).first()[0]
+        base = -1 if max_seed is None else int(max_seed)
+        init_comp = F.coalesce(
+            F.col(seed_property).cast("long"),
+            F.col("node_id") + F.lit(base + 1),
+        )
+    else:
+        init_comp = F.col("node_id")
+    state = graph.nodes.select(
+        "node_id",
+        init_comp.alias("component"),
+        F.lit(1).cast("int").alias(ACTIVE_COL),
+    )
+
+    def step(st: DataFrame, superstep: int) -> DataFrame:
+        # only nodes whose component changed last round need to re-broadcast
+        changed = st.where(F.col(ACTIVE_COL) == 1).select(
+            F.col("node_id").alias("_n"), F.col("component").alias("_c")
+        )
+        msgs = (
+            edges.join(changed, edges.src == F.col("_n"), "inner")
+            .groupBy("dst")
+            .agg(F.min("_c").alias("_min_c"))
+        )
+        joined = st.join(msgs, st.node_id == msgs.dst, "left")
+        new_comp = F.least(F.col("component"), F.coalesce(F.col("_min_c"), F.col("component")))
+        return joined.select(
+            st.node_id,
+            new_comp.alias("component"),
+            (new_comp < F.col("component")).cast("int").alias(ACTIVE_COL),
+        )
+
+    driver = Pregel(
+        spark,
+        max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
+        extra_metrics={"distinct_components": F.countDistinct("component")},
+    )
+    res = driver.run(state, step, resume=resume)
+    edges.unpersist()
+    comps = res.state.select("node_id", "component")
+    if consecutive_ids:
+        # cardinality = #components ≪ #nodes; the window runs over the small
+        # distinct set, then broadcasts back (gds `consecutiveIds` remap)
+        distinct = comps.select("component").distinct()
+        remap = distinct.withColumn(
+            "_new", F.row_number().over(Window.orderBy("component")) - 1
+        )
+        comps = (
+            comps.join(F.broadcast(remap), "component")
+            .select("node_id", F.col("_new").alias("component"))
+        )
+    return WccResult(comps, res.ran_iterations, res.converged, res.metrics)

@@ -1,0 +1,83 @@
+"""Node similarity + embedding ANN operators."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_spark.graph import edges_from_tuples, graph_from_edges
+from graph_data_science_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    node_similarity,
+)
+
+
+def test_node_similarity_jaccard(spark):
+    # doc-style: persons → instruments bipartite
+    # 0,1 share {10,11}; 0 has {10,11,12}, 1 has {10,11}, 2 has {12}
+    edges = edges_from_tuples(
+        spark, [(0, 10), (0, 11), (0, 12), (1, 10), (1, 11), (2, 12)]
+    )
+    g = graph_from_edges(spark, edges)
+    got = {(r["node1"], r["node2"]): r["similarity"]
+           for r in node_similarity(g).collect()}
+    assert got[(0, 1)] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[(0, 2)] == pytest.approx(1 / 3, abs=1e-6)
+    assert (1, 2) not in got  # no shared neighbor
+    assert got[(1, 0)] == got[(0, 1)]
+
+
+def test_node_similarity_topk(spark):
+    edges = edges_from_tuples(
+        spark, [(0, 10), (1, 10), (2, 10), (3, 10)]
+    )
+    g = graph_from_edges(spark, edges)
+    rows = node_similarity(g, top_k=2).collect()
+    per_node = {}
+    for r in rows:
+        per_node.setdefault(r["node1"], []).append(r["node2"])
+    assert all(len(v) <= 2 for v in per_node.values())
+    # tie-break: smaller node2 first
+    assert sorted(per_node[0]) == per_node[0]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(50)]
+    # plant a near-identical pair
+    rows[41] = (41, (np.array(rows[40][1]) + 1e-4).tolist())
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(vecs):
+    rows = cosine_topk(vecs, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["vec_id"], []).append((r["neighbor_id"], r["cosine"]))
+    assert len(by_q) == 50 and all(len(v) == 3 for v in by_q.values())
+    assert by_q[40][0][0] == 41 and by_q[40][0][1] > 0.999999
+    assert by_q[41][0][0] == 40
+    # brute-force verification for one query
+    pdf = vecs.toPandas().sort_values("vec_id")
+    m = np.array([np.array(v) for v in pdf["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m[7]
+    sims[7] = -np.inf
+    want = set(np.argsort(-sims)[:3].tolist())
+    got = {n for n, _ in by_q[7]}
+    assert got == want
+
+
+def test_cosine_topk_ivf_recall(vecs):
+    exact = cosine_topk(vecs, k=5).collect()
+    approx = cosine_topk_ivf(vecs, k=5, n_clusters=8, n_probe=4).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in approx:
+        a.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.6  # probing half the clusters
+    # the planted near-dup must survive approximation
+    assert 41 in a[40]

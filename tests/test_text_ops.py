@@ -1,0 +1,110 @@
+"""Text analysis + dedup operators: deterministic expectations on small docs."""
+
+import pytest
+
+from graph_data_science_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from graph_data_science_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    token_count_bpe_ish,
+)
+from tests.conftest import rows_to_dict
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+    (2, "THE  quick   brown fox jumps over the lazy dog "),   # dup after norm
+    (3, "the quick brown fox jumps over the sleepy dog"),     # near dup
+    (4, "el perro y el gato de la casa que hay"),
+    (5, ""),
+    (6, "completely different content about spark engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_count(docs):
+    got = rows_to_dict(token_count(docs), "doc_id", "n_tokens")
+    assert got == {0: 9, 1: 9, 2: 9, 3: 9, 4: 10, 5: 0, 6: 6}
+
+
+def test_token_count_bpe_ish(spark):
+    df = spark.createDataFrame(
+        [(0, "hello, world! x2"), (1, "")], "doc_id long, text string"
+    )
+    got = rows_to_dict(token_count_bpe_ish(df), "doc_id", "n_subtokens")
+    # hello , world ! x 2 → 6
+    assert got == {0: 6, 1: 0}
+
+
+def test_exact_duplicates(docs):
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+           for r in exact_duplicates(docs).collect()}
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
+    assert got[3] == (3, 1)
+    assert got[6] == (6, 1)
+
+
+def test_quality_score(docs):
+    rows = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert rows[5]["n_tokens"] == 0 and rows[5]["quality"] <= 0.3
+    assert 0.0 <= rows[0]["quality"] <= 1.0
+    assert rows[0]["alpha_ratio"] > 0.7
+
+
+def test_language_id(docs):
+    got = rows_to_dict(language_id(docs), "doc_id", "lang_pred")
+    assert got[0] == "en"
+    assert got[4] == "es"
+    assert got[5] == "und"
+
+
+def test_fingerprint_dups_share(docs):
+    got = rows_to_dict(fingerprint(docs), "doc_id", "fingerprint")
+    assert got[0] == got[1] == got[2]
+    assert got[0] != got[6]
+
+
+def test_minhash_signature_shape(docs):
+    sig = minhash_signatures(docs, num_hashes=8).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert all(v == set(range(8)) for v in by_doc.values())
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 6) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0
+    assert 0.2 <= pairs[(0, 3)] < 1.0
+    assert (0, 6) not in pairs
+
+
+def test_simhash_near_dups_close(docs):
+    got = rows_to_dict(simhash(docs, bits=32), "doc_id", "simhash")
+    assert got[0] == got[1] == got[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[0], got[3]) <= 12   # near dup: small distance
+    assert hamming(got[0], got[6]) >= hamming(got[0], got[3])
