@@ -1,38 +1,464 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: queries() + oracle_sql() for the correctness gate.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every graph operator runs on the deterministic link graph derived from the
+driver's parquet tables (graph_data_science_spark/sources/tpch_graph.py —
+customer→supplier via orders⋈lineitem, customer→nation, supplier→nation;
+nations are the high-in-degree hubs). Every oracle below is ANSI SQL over
+the same tables; for the iterative algorithms (PageRank / ArticleRank /
+eigenvector / WCC / label propagation) the oracle is the SAME recurrence
+unrolled into chained CTEs — identical float op order per step, so results
+agree to well below the 6dp rounding applied on both sides.
+
+Cross-engine portability contract (Spark ⇄ DuckDB):
+- md5 hex strings compare/min identically (lexicographic = numeric).
+- ``CAST('0x'||hex AS BIGINT)`` (DuckDB) == ``conv(hex,16,10)`` (Spark).
+- DuckDB ``regexp_replace(...,'g')`` == Spark ``regexp_replace`` (global).
+- every aggregate/computed column is aliased identically on both sides and
+  explicitly CAST so schemas match (DuckDB SUM(BIGINT)→HUGEINT etc.).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.operators.degree import degree_centrality
+from graph_data_science_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from graph_data_science_spark.operators.label_propagation import label_propagation
+from graph_data_science_spark.operators.pagerank import article_rank, pagerank
+from graph_data_science_spark.operators.scale_properties import apply_scaler
+from graph_data_science_spark.operators.similarity import cosine_topk, node_similarity
+from graph_data_science_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    token_count_bpe_ish,
+)
+from graph_data_science_spark.operators.triangle import (
+    local_clustering_coefficient,
+    triangle_count,
+    triangles,
+)
+from graph_data_science_spark.operators.wcc import wcc
+from graph_data_science_spark.sources.tpch_graph import EDGES_SQL, build_graph
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+#: normalized text + word arrays (documents table) — mirrors dedup._norm
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+def _shingle_cte(n: int, src: str = "documents") -> str:
+    """CTE 'sh' = distinct word n-gram shingles per doc (mirrors
+    dedup._word_shingles: fallback to the whole normalized text when the
+    doc has fewer than n words)."""
+    return f"""
+w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM {src}),
+sh AS (
+    SELECT DISTINCT doc_id,
+        CASE WHEN len(ws) >= {n}
+             THEN array_to_string(ws[i+1:i+{n}], ' ')
+             ELSE array_to_string(ws, ' ') END AS shingle
+    FROM (SELECT doc_id, ws,
+                 unnest(CASE WHEN len(ws) >= {n}
+                             THEN range(0, len(ws) - {n} + 1)
+                             ELSE [CAST(0 AS BIGINT)] END) AS i
+          FROM w)
+)
+"""
+
+
+def _pagerank_sql(weighted: bool, iters: int = 19, damping: float = 0.85,
+                  tol: float = 1e-7, degree_shift_sql: str | None = None) -> str:
+    if weighted:
+        deg = "SELECT src AS node_id, SUM(weight) AS degree FROM edges WHERE weight > 0.0 GROUP BY src"
+        msg = "s.delta / s.degree * e.weight"
+        esrc = "edges e"
+    else:
+        deg = "SELECT src AS node_id, CAST(COUNT(*) AS DOUBLE) AS degree FROM edges GROUP BY src"
+        msg = "s.delta / s.degree"
+        esrc = "edges e"
+    shift = f" + ({degree_shift_sql})" if degree_shift_sql else ""
+    parts = [f"WITH {EDGES_SQL},",
+             f"deg AS MATERIALIZED ({deg}),"]
+    if degree_shift_sql:
+        parts.append(
+            "avgdeg AS MATERIALIZED (SELECT AVG(COALESCE(d.degree, 0.0)) AS ad "
+            "FROM nodes n LEFT JOIN deg d ON n.node_id = d.node_id),")
+    parts.append(
+        "s0 AS MATERIALIZED (SELECT n.node_id, COALESCE(d.degree, 0.0)" + shift + " AS degree, "
+        "CAST(1.0 AS DOUBLE) - CAST(" + repr(damping) + " AS DOUBLE) AS rank, "
+        "CAST(1.0 AS DOUBLE) - CAST(" + repr(damping) + " AS DOUBLE) AS delta "
+        "FROM nodes n LEFT JOIN deg d ON n.node_id = d.node_id"
+        + (", avgdeg" if degree_shift_sql else "") + "),")
+    for k in range(1, iters + 1):
+        p, c = f"s{k-1}", f"s{k}"
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS node_id, SUM({msg}) AS msg "
+            f"FROM {esrc} JOIN {p} s ON e.src = s.node_id AND s.delta > {tol!r} "
+            f"GROUP BY e.dst),")
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT s.node_id, s.degree, "
+            f"s.rank + COALESCE({damping!r} * m.msg, 0.0) AS rank, "
+            f"COALESCE({damping!r} * m.msg, 0.0) AS delta "
+            f"FROM {p} s LEFT JOIN m{k} m ON s.node_id = m.node_id),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, ROUND(rank, 6) AS score FROM s{iters}"
+
+
+def _wcc_sql(iters: int = 15, threshold: float | None = None) -> str:
+    w = f" WHERE weight > {threshold!r}" if threshold is not None else ""
+    parts = [f"WITH {EDGES_SQL},",
+             f"""ue AS MATERIALIZED (SELECT src, dst FROM (
+                 SELECT src, dst FROM edges{w}
+                 UNION
+                 SELECT dst AS src, src AS dst FROM edges{w}) WHERE src <> dst),""",
+             "c0 AS MATERIALIZED (SELECT node_id, node_id AS component FROM nodes),"]
+    for k in range(1, iters + 1):
+        p, c = f"c{k-1}", f"c{k}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT node_id, MIN(component) AS component FROM ("
+            f"SELECT node_id, component FROM {p} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node_id, s.component FROM ue e JOIN {p} s ON e.src = s.node_id"
+            f") GROUP BY node_id),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, component FROM c{iters}"
+
+
+def _lpa_sql(iters: int = 10, weighted: bool = False) -> str:
+    wexpr = "e.weight" if weighted else "1.0"
+    parts = [f"WITH {EDGES_SQL},",
+             "l0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM nodes),"]
+    for k in range(1, iters + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"t{k} AS MATERIALIZED (SELECT e.src AS node_id, l.label AS vote, SUM({wexpr}) AS w "
+            f"FROM edges e JOIN {p} l ON e.dst = l.node_id GROUP BY e.src, l.label),")
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT node_id, MAX(w) AS mw FROM t{k} GROUP BY node_id),")
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT t.node_id, MIN(t.vote) AS new_label FROM t{k} t "
+            f"JOIN b{k} b ON t.node_id = b.node_id AND t.w = b.mw GROUP BY t.node_id),")
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT l.node_id, COALESCE(wi.new_label, l.label) AS label "
+            f"FROM {p} l LEFT JOIN w{k} wi ON l.node_id = wi.node_id),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, label FROM l{iters}"
+
+
+_TRI_BASE = f"""WITH {EDGES_SQL},
+ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM edges WHERE src <> dst),
+tri AS MATERIALIZED (SELECT w.a AS x, w.b AS y, w.c AS z FROM (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM ce e1 JOIN ce e2 ON e1.a = e2.a AND e1.b < e2.b) w
+        JOIN ce e3 ON e3.a = w.b AND e3.b = w.c)
+"""
+
+_TRI_COUNT_SQL = _TRI_BASE + """,
+corners AS (SELECT x AS node_id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+cnt AS (SELECT node_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY node_id)
+SELECT n.node_id, CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN cnt c ON n.node_id = c.node_id
+"""
+
+_TRI_GLOBAL_SQL = _TRI_BASE + "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri"
+
+_LCC_SQL = _TRI_BASE + """,
+corners AS (SELECT x AS node_id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+cnt AS (SELECT node_id, COUNT(*) AS triangles FROM corners GROUP BY node_id),
+dg AS (SELECT node_id, CAST(COUNT(*) AS DOUBLE) AS d FROM
+       (SELECT a AS node_id FROM ce UNION ALL SELECT b FROM ce) GROUP BY node_id)
+SELECT n.node_id,
+       CASE WHEN COALESCE(dg.d, 0.0) < 2 THEN 0.0
+            ELSE ROUND(2.0 * COALESCE(cnt.triangles, 0) / (dg.d * (dg.d - 1.0)), 6)
+       END AS lcc
+FROM nodes n LEFT JOIN cnt ON n.node_id = cnt.node_id LEFT JOIN dg ON n.node_id = dg.node_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# engine-side helpers
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _round(df: DataFrame, col: str, nd: int = 6) -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), nd))
+
+
+def _cust_supp_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    g = build_graph(spark, sf_dir)
+    from graph_data_science_spark.sources.tpch_graph import SUPP_BASE, NATION_BASE
+    edges = g.edges.where(F.col("dst") < NATION_BASE)
+    nodes = g.nodes.where(F.col("node_id") < NATION_BASE)
+    return Graph(nodes=nodes, edges=edges, directed=True, name="cust-supp")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the derived link graph at sf0.001."""
+    g = build_graph(spark, "/root/testdata/sf0.001")
+    res = pagerank(g)
+    return res.scores.select("node_id", F.round("score", 6).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- graph algorithms ----------------------------------------------------
+    q["pagerank"] = lambda s, d: _round(
+        pagerank(build_graph(s, d)).scores, "score")
+    q["pagerank_weighted"] = lambda s, d: _round(
+        pagerank(build_graph(s, d), weighted=True).scores, "score")
+    q["article_rank"] = lambda s, d: _round(
+        article_rank(build_graph(s, d)).scores, "score")
+    q["wcc"] = lambda s, d: wcc(build_graph(s, d)).components
+    q["wcc_threshold"] = lambda s, d: wcc(
+        build_graph(s, d), threshold=2.0).components
+    q["label_propagation"] = lambda s, d: label_propagation(
+        build_graph(s, d)).labels
+    q["label_propagation_weighted"] = lambda s, d: label_propagation(
+        build_graph(s, d), weighted=True).labels
+    q["triangle_count"] = lambda s, d: triangle_count(build_graph(s, d)).per_node
+    q["triangle_global"] = lambda s, d: triangles(build_graph(s, d)).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    q["local_clustering_coefficient"] = lambda s, d: _round(
+        local_clustering_coefficient(build_graph(s, d)), "lcc")
+    q["degree_out"] = lambda s, d: degree_centrality(build_graph(s, d))
+    q["degree_in_weighted"] = lambda s, d: degree_centrality(
+        build_graph(s, d), orientation="REVERSE", weighted=True)
+    q["node_similarity"] = lambda s, d: node_similarity(
+        _cust_supp_graph(s, d), top_k=5)
+
+    # -- scalers ---------------------------------------------------------
+    q["scale_minmax"] = lambda s, d: _round(
+        apply_scaler(
+            s.read.parquet(f"{d}/orders.parquet")
+            .select("o_orderkey", F.col("o_totalprice").cast("double").alias("scaled")),
+            "scaled", "MINMAX"),
+        "scaled")
+
+    # -- text / dedup / similarity (training-data ops) -----------------------
+    q["token_count"] = lambda s, d: token_count(_docs(s, d))
+    q["token_count_bpe"] = lambda s, d: token_count_bpe_ish(_docs(s, d))
+    q["quality_score"] = lambda s, d: quality_score(_docs(s, d))
+    q["language_id"] = lambda s, d: language_id(_docs(s, d))
+    q["fingerprint"] = lambda s, d: fingerprint(_docs(s, d))
+    q["exact_duplicates"] = lambda s, d: exact_duplicates(_docs(s, d))
+    q["minhash_signatures"] = lambda s, d: minhash_signatures(
+        _docs(s, d), num_hashes=8)
+    q["minhash_lsh_pairs"] = lambda s, d: minhash_lsh_pairs(
+        _docs(s, d), num_hashes=8, bands=4)
+    q["ngram_jaccard_pairs"] = lambda s, d: ngram_jaccard_pairs(
+        _docs(s, d), threshold=0.2)
+    q["simhash"] = lambda s, d: simhash(_docs(s, d), bits=32, shingle_n=2)
+    q["embedding_cosine_topk"] = lambda s, d: cosine_topk(
+        s.read.parquet(f"{d}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        k=3)
+
+    # -- non-SQL-expressible (rows-only checks) ------------------------------
+    from graph_data_science_spark.operators.similarity import cosine_topk_ivf
+    q["embedding_cosine_topk_ivf"] = lambda s, d: cosine_topk_ivf(
+        s.read.parquet(f"{d}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        k=3, n_clusters=8, n_probe=4)
+    q["label_propagation_gds_order"] = lambda s, d: label_propagation(
+        build_graph(s, d), mode="batch_sequential").labels
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    # -- graph algorithms ----------------------------------------------------
+    o["pagerank"] = _pagerank_sql(weighted=False)
+    o["pagerank_weighted"] = _pagerank_sql(weighted=True)
+    o["article_rank"] = _pagerank_sql(weighted=False, degree_shift_sql="SELECT ad FROM avgdeg")
+    o["wcc"] = _wcc_sql()
+    o["wcc_threshold"] = _wcc_sql(threshold=2.0)
+    o["label_propagation"] = _lpa_sql(weighted=False)
+    o["label_propagation_weighted"] = _lpa_sql(weighted=True)
+    o["triangle_count"] = _TRI_COUNT_SQL
+    o["triangle_global"] = _TRI_GLOBAL_SQL
+    o["local_clustering_coefficient"] = _LCC_SQL
+
+    o["degree_out"] = f"""WITH {EDGES_SQL},
+dg AS (SELECT src AS node_id, CAST(COUNT(*) AS DOUBLE) AS score FROM edges GROUP BY src)
+SELECT n.node_id, COALESCE(dg.score, 0.0) AS score
+FROM nodes n LEFT JOIN dg ON n.node_id = dg.node_id"""
+
+    o["degree_in_weighted"] = f"""WITH {EDGES_SQL},
+dg AS (SELECT dst AS node_id, SUM(weight) AS score FROM edges WHERE weight > 0.0 GROUP BY dst)
+SELECT n.node_id, COALESCE(dg.score, 0.0) AS score
+FROM nodes n LEFT JOIN dg ON n.node_id = dg.node_id"""
+
+    o["node_similarity"] = f"""WITH {EDGES_SQL},
+nb AS (SELECT DISTINCT src, dst FROM edges WHERE dst < 2000000),
+dg AS (SELECT src, COUNT(*) AS deg FROM nb GROUP BY src),
+it AS (SELECT x.src AS node1, y.src AS node2, COUNT(*) AS inter
+       FROM nb x JOIN nb y ON x.dst = y.dst AND x.src <> y.src
+       GROUP BY x.src, y.src),
+sc AS (SELECT i.node1, i.node2,
+              ROUND(CAST(i.inter AS DOUBLE) / (d1.deg + d2.deg - i.inter), 6) AS similarity
+       FROM it i JOIN dg d1 ON i.node1 = d1.src JOIN dg d2 ON i.node2 = d2.src),
+rk AS (SELECT node1, node2, similarity,
+              ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY similarity DESC, node2) AS rn
+       FROM sc WHERE similarity >= 1e-42)
+SELECT node1, node2, similarity FROM rk WHERE rn <= 5"""
+
+    # -- scalers -----------------------------------------------------------
+    o["scale_minmax"] = """
+WITH st AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+                   MAX(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders)
+SELECT o_orderkey,
+       ROUND(CASE WHEN hi - lo = 0 THEN 0.0
+                  ELSE (CAST(o_totalprice AS DOUBLE) - lo) / (hi - lo) END, 6) AS scaled
+FROM orders, st"""
+
+    # -- text / dedup --------------------------------------------------------
+    o["token_count"] = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents"""
+
+    o["token_count_bpe"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_subtokens
+FROM documents"""
+
+    o["quality_score"] = """
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+  FROM documents),
+m AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(spaces AS DOUBLE) / n_chars ELSE 0.0 END AS space_ratio,
+         CASE WHEN n_tokens > 0 THEN (alpha + 0.0) / n_tokens ELSE 0.0 END AS mean_tok,
+         CASE WHEN n_chars < 200 THEN n_chars / 200.0
+              WHEN n_chars > 8000 THEN GREATEST(0.0, 1 - (n_chars - 8000) / 8000.0)
+              ELSE 1.0 END AS len_score
+  FROM base),
+m2 AS (
+  SELECT *, CASE WHEN mean_tok < 3 THEN mean_tok / 3.0
+                 WHEN mean_tok > 10 THEN GREATEST(0.0, 1 - (mean_tok - 10) / 10.0)
+                 ELSE 1.0 END AS tok_score
+  FROM m)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(space_ratio, 6) AS space_ratio,
+       ROUND(mean_tok, 6) AS mean_token_len,
+       ROUND(LEAST(1.0, GREATEST(0.0, 0.3 * len_score + 0.4 * alpha_ratio + 0.3 * tok_score)), 6) AS quality
+FROM m2"""
+
+    o["language_id"] = """
+WITH hits AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS h_de,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) AS h_en,
+         len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y)\\b')) AS h_es,
+         len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS h_fr
+  FROM documents),
+b AS (SELECT doc_id, h_de, h_en, h_es, h_fr,
+             GREATEST(h_de, h_en, h_es, h_fr) AS best FROM hits)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN h_de = best THEN 'de'
+            WHEN h_en = best THEN 'en'
+            WHEN h_es = best THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       CAST(best AS BIGINT) AS lang_hits
+FROM b"""
+
+    o["fingerprint"] = f"""
+WITH {_shingle_cte(5).strip()}
+SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"""
+
+    o["exact_duplicates"] = f"""
+WITH h AS (SELECT doc_id, md5({_NORM}) AS hh FROM documents),
+g AS (SELECT hh, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM h GROUP BY hh)
+SELECT h.doc_id, g.canonical_id, g.group_size FROM h JOIN g ON h.hh = g.hh"""
+
+    o["minhash_signatures"] = f"""
+WITH {_shingle_cte(3).strip()},
+ks AS (SELECT doc_id, h, shingle FROM sh, (SELECT unnest(range(0, 8)) AS h) hs)
+SELECT doc_id, CAST(h AS INT) AS h,
+       MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+FROM ks GROUP BY doc_id, h"""
+
+    o["minhash_lsh_pairs"] = f"""
+WITH {_shingle_cte(3).strip()},
+ks AS (SELECT doc_id, h, shingle FROM sh, (SELECT unnest(range(0, 8)) AS h) hs),
+mh AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+       FROM ks GROUP BY doc_id, h),
+bh AS (SELECT doc_id, CAST(h // 2 AS INT) AS band,
+              md5(string_agg(CAST(h AS VARCHAR) || '=' || minhash, ','
+                             ORDER BY CAST(h AS VARCHAR) || '=' || minhash)) AS bhash
+       FROM mh GROUP BY doc_id, h // 2)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bh l JOIN bh r ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id"""
+
+    o["ngram_jaccard_pairs"] = f"""
+WITH {_shingle_cte(3).strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id),
+j AS (SELECT i.a, i.b,
+             ROUND(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+      FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id)
+SELECT a, b, jaccard FROM j WHERE jaccard >= 0.2"""
+
+    o["simhash"] = f"""
+WITH {_shingle_cte(2).strip()},
+hv AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS hv FROM sh),
+bits AS (SELECT doc_id, i AS bit,
+                CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+         FROM hv, (SELECT unnest(range(0, 32)) AS i) bs),
+s AS (SELECT doc_id, bit, SUM(vote) AS sv FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id"""
+
+    o["embedding_cosine_topk"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM p)
+SELECT vec_id, neighbor_id, cosine FROM r WHERE rn <= 3"""
+
+    return o

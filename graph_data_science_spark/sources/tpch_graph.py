@@ -35,9 +35,11 @@ SUPP_BASE = 1_000_000
 NATION_BASE = 2_000_000
 
 # Kept textually identical in semantics to the DataFrame derivation below.
-# Used as the WITH-clause body of every graph-operator oracle.
+# Used as the WITH-clause body of every graph-operator oracle (DuckDB-only:
+# MATERIALIZED stops CTE inlining — the unrolled iterative oracles reference
+# each step's CTE twice, which would otherwise expand exponentially).
 EDGES_SQL = """
-edges AS (
+edges AS MATERIALIZED (
     SELECT o_custkey AS src,
            {supp_base} + l_suppkey AS dst,
            CAST(count(*) AS DOUBLE) AS weight
@@ -51,7 +53,7 @@ edges AS (
            {nation_base} + s_nationkey AS dst, 1.0 AS weight
     FROM supplier
 ),
-nodes AS (
+nodes AS MATERIALIZED (
     SELECT c_custkey AS node_id FROM customer
     UNION ALL
     SELECT {supp_base} + s_suppkey FROM supplier
