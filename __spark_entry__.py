@@ -157,6 +157,68 @@ def _lpa_sql(iters: int = 10, weighted: bool = False) -> str:
     return body + f"SELECT node_id, label FROM l{iters}"
 
 
+def _bfs_sql(source: int, iters: int = 6, weighted: bool = False) -> str:
+    """Unrolled min-relaxation rounds (BFS hop distance / Bellman-Ford SSSP).
+
+    ``iters`` must be ≥ the longest shortest-path hop count — the derived
+    graph is a 2-hop DAG (cust→supp→nation), so 6 has ample margin; rounds
+    after convergence are idempotent."""
+    relax = "s.dist + e.weight" if weighted else "s.dist + 1.0"
+    parts = [f"WITH {EDGES_SQL},",
+             f"d0 AS MATERIALIZED (SELECT node_id, CASE WHEN node_id = {source} "
+             f"THEN 0.0 ELSE CAST('inf' AS DOUBLE) END AS dist FROM nodes),"]
+    for k in range(1, iters + 1):
+        p = f"d{k-1}"
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT e.dst AS node_id, MIN({relax}) AS best "
+            f"FROM edges e JOIN {p} s ON e.src = s.node_id AND s.dist < CAST('inf' AS DOUBLE) "
+            f"GROUP BY e.dst),")
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT d.node_id, "
+            f"LEAST(d.dist, COALESCE(r.best, d.dist)) AS dist "
+            f"FROM {p} d LEFT JOIN r{k} r ON d.node_id = r.node_id),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, dist AS distance FROM d{iters}"
+
+
+def _dag_levels_sql(iters: int = 6) -> str:
+    parts = [f"WITH {EDGES_SQL},",
+             "v0 AS MATERIALIZED (SELECT node_id, CAST(0 AS BIGINT) AS level FROM nodes),"]
+    for k in range(1, iters + 1):
+        p = f"v{k-1}"
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT e.dst AS node_id, MAX(s.level + 1) AS best "
+            f"FROM edges e JOIN {p} s ON e.src = s.node_id GROUP BY e.dst),")
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT v.node_id, "
+            f"CAST(GREATEST(v.level, COALESCE(r.best, v.level)) AS BIGINT) AS level "
+            f"FROM {p} v LEFT JOIN r{k} r ON v.node_id = r.node_id),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, level FROM v{iters}"
+
+
+def _kcore_sql(k: int, rounds: int = 10) -> str:
+    """Unrolled cascade peel for fixed-k core membership."""
+    parts = [f"WITH {EDGES_SQL},",
+             """ue AS MATERIALIZED (SELECT src, dst FROM (
+                 SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+                 FROM edges WHERE src <> dst) GROUP BY src, dst),""",
+             "u2 AS MATERIALIZED (SELECT src, dst FROM ue UNION ALL SELECT dst, src FROM ue),",
+             "a0 AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM u2),"]
+    for r in range(1, rounds + 1):
+        p = f"a{r-1}"
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT u.src, u.dst FROM u2 u "
+            f"JOIN {p} x ON u.src = x.node_id JOIN {p} y ON u.dst = y.node_id),")
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT src AS node_id FROM g{r} "
+            f"GROUP BY src HAVING COUNT(*) >= {k}),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + (
+        f"SELECT n.node_id, (a.node_id IS NOT NULL) AS in_core "
+        f"FROM nodes n LEFT JOIN a{rounds} a ON n.node_id = a.node_id")
+
+
 _TRI_BASE = f"""WITH {EDGES_SQL},
 ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
        FROM edges WHERE src <> dst),
@@ -247,6 +309,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["node_similarity"] = lambda s, d: node_similarity(
         _cust_supp_graph(s, d), top_k=5)
 
+    # -- paths / k-core -------------------------------------------------------
+    from graph_data_science_spark.operators.kcore import coreness, k_core
+    from graph_data_science_spark.operators.paths import bfs, dag_levels, shortest_paths
+
+    q["bfs"] = lambda s, d: bfs(build_graph(s, d), source=1).distances
+    q["sssp_weighted"] = lambda s, d: shortest_paths(
+        build_graph(s, d), source=1, weighted=True).distances
+    q["dag_levels"] = lambda s, d: dag_levels(build_graph(s, d))
+    q["k_core_3"] = lambda s, d: k_core(build_graph(s, d), k=3)
+    q["coreness"] = lambda s, d: coreness(build_graph(s, d), max_core=64)
+
     # -- scalers ---------------------------------------------------------
     q["scale_minmax"] = lambda s, d: _round(
         apply_scaler(
@@ -324,6 +397,11 @@ rk AS (SELECT node1, node2, similarity,
               ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY similarity DESC, node2) AS rn
        FROM sc WHERE similarity >= 1e-42)
 SELECT node1, node2, similarity FROM rk WHERE rn <= 5"""
+
+    o["bfs"] = _bfs_sql(source=1)
+    o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
+    o["dag_levels"] = _dag_levels_sql()
+    o["k_core_3"] = _kcore_sql(3)
 
     # -- scalers -----------------------------------------------------------
     o["scale_minmax"] = """

@@ -119,3 +119,34 @@ class GraphCatalog:
         g = Graph(nodes=nodes, edges=edges, directed=directed, name=name)
         self._graphs[name] = g
         return g
+
+    def write_csv(self, name: str, path: str) -> None:
+        """``gds.graph.export.csv`` analog (io/csv/.../GraphStoreToCsvExporter.java:39):
+        typed CSV + sidecar schema files, so a re-import restores exact types
+        (the reference's *-header.csv scheme)."""
+        import json
+        import os
+
+        g = self.get(name)
+        for which, df in (("nodes", g.nodes), ("edges", g.edges)):
+            df.write.mode("overwrite").option("header", True).csv(f"{path}/{which}")
+            os.makedirs(path, exist_ok=True)
+            with open(f"{path}/{which}.schema.json", "w") as fh:
+                fh.write(json.dumps(json.loads(df.schema.json())))
+
+    def read_csv(self, name: str, path: str, directed: bool = True) -> Graph:
+        """``CsvToGraphStoreImporter`` analog — reads the sidecar schema, so
+        the round trip is type-exact."""
+        import json
+
+        from pyspark.sql.types import StructType
+
+        dfs = {}
+        for which in ("nodes", "edges"):
+            with open(f"{path}/{which}.schema.json") as fh:
+                schema = StructType.fromJson(json.loads(fh.read()))
+            dfs[which] = self.spark.read.option("header", True).schema(schema).csv(
+                f"{path}/{which}")
+        g = Graph(nodes=dfs["nodes"], edges=dfs["edges"], directed=directed, name=name)
+        self._graphs[name] = g
+        return g

@@ -1,0 +1,76 @@
+"""BFS / SSSP / DAG levels / k-core against hand-computed goldens."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.graph import UNDIRECTED, Graph, edges_from_tuples, graph_from_edges
+from graph_data_science_spark.operators.kcore import coreness, k_core
+from graph_data_science_spark.operators.paths import bfs, dag_levels, shortest_paths
+from tests.conftest import rows_to_dict
+
+INF = float("inf")
+
+
+def test_bfs_hops(spark):
+    # 0→1→2→3, 0→4, 5 isolated
+    edges = edges_from_tuples(spark, [(0, 1), (1, 2), (2, 3), (0, 4)])
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node_id long")
+    got = rows_to_dict(bfs(graph_from_edges(spark, edges, nodes), source=0).distances,
+                       "node_id", "distance")
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 1.0, 5: INF}
+
+
+def test_sssp_weighted_prefers_cheaper_path(spark):
+    # 0→1 (5.0) vs 0→2→1 (1+1): dijkstra-style answer 2.0
+    edges = edges_from_tuples(
+        spark, [(0, 1, 5.0), (0, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    got = rows_to_dict(shortest_paths(g, source=0).distances, "node_id", "distance")
+    assert got == {0: 0.0, 1: 2.0, 2: 1.0, 3: 3.0}
+
+
+def test_sssp_unweighted_equals_bfs(spark):
+    edges = edges_from_tuples(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    g = graph_from_edges(spark, edges)
+    a = rows_to_dict(bfs(g, 0).distances, "node_id", "distance")
+    b = rows_to_dict(shortest_paths(g, 0, weighted=False).distances,
+                     "node_id", "distance")
+    assert a == b
+
+
+def test_dag_levels(spark):
+    # diamond 0→{1,2}→3 plus long arm 0→4→5→3: level(3) = 3 (longest path)
+    edges = edges_from_tuples(
+        spark, [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (4, 5), (5, 3)])
+    g = graph_from_edges(spark, edges)
+    got = rows_to_dict(dag_levels(g), "node_id", "level")
+    assert got == {0: 0, 1: 1, 2: 1, 4: 1, 5: 2, 3: 3}
+
+
+def test_dag_levels_cycle_raises(spark):
+    edges = edges_from_tuples(spark, [(0, 1), (1, 2), (2, 0)])
+    g = graph_from_edges(spark, edges)
+    with pytest.raises(ValueError, match="cycle"):
+        dag_levels(g, max_iterations=10)
+
+
+def test_k_core_membership(spark):
+    # 4-clique {0,1,2,3} + tail 3-4-5: 3-core = clique only
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges = edges_from_tuples(spark, clique + [(3, 4), (4, 5)])
+    g = graph_from_edges(spark, edges)
+    got = rows_to_dict(k_core(g, k=3), "node_id", "in_core")
+    assert got == {0: True, 1: True, 2: True, 3: True, 4: False, 5: False}
+
+
+def test_coreness(spark):
+    # 4-clique (core 3) + tail 3-4-5 (core 1) + triangle 6,7,8 (core 2)
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tri = [(6, 7), (7, 8), (6, 8)]
+    edges = edges_from_tuples(spark, clique + [(3, 4), (4, 5)] + tri)
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "node_id long")
+    g = graph_from_edges(spark, edges, nodes)
+    got = rows_to_dict(coreness(g), "node_id", "core")
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1, 6: 2, 7: 2, 8: 2, 9: 0}
