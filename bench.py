@@ -60,6 +60,13 @@ def main() -> None:
         n_edges * pr.ran_iterations / timings["pagerank"])
 
     t0 = time.monotonic()
+    prc = pagerank(graph, mode="csr")
+    prc.scores.agg(F.sum("score")).first()
+    timings["pagerank_csr"] = time.monotonic() - t0
+    extras["pagerank_csr_edges_per_sec_per_superstep"] = (
+        n_edges * prc.ran_iterations / timings["pagerank_csr"])
+
+    t0 = time.monotonic()
     w = wcc(graph)
     w.components.agg(F.countDistinct("component")).first()
     timings["wcc"] = time.monotonic() - t0

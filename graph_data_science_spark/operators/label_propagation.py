@@ -49,6 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.plans.partitioning import shuffle_hash
 from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
 
 
@@ -126,7 +127,7 @@ def _run_sync(graph, edges, state, max_iterations, checkpoint_dir, resume):
             F.col("label").alias("_vote"),
             F.col("node_weight").alias("_nw"),
         )
-        votes = edges.join(voters, edges.dst == F.col("_t"), "inner").select(
+        votes = edges.join(shuffle_hash(voters), edges.dst == F.col("_t"), "inner").select(
             F.col("src").alias("_v"),
             F.col("_vote"),
             (F.col("weight") * F.col("_nw")).alias("_w"),
@@ -136,7 +137,7 @@ def _run_sync(graph, edges, state, max_iterations, checkpoint_dir, resume):
             F.max(F.struct(F.col("_tw"), (-F.col("_vote")).alias("_neg"),
                            F.col("_vote").alias("_lbl"))).alias("_best")
         ).select("_v", F.col("_best._lbl").alias("_new_label"))
-        joined = st.join(winner, st.node_id == F.col("_v"), "left")
+        joined = st.join(shuffle_hash(winner), st.node_id == F.col("_v"), "left")
         new_label = F.coalesce(F.col("_new_label"), F.col("label"))
         return joined.select(
             st.node_id,

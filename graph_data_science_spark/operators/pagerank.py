@@ -36,7 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from graph_data_science_spark.graph import Graph
-from graph_data_science_spark.plans.partitioning import two_level_sum
+from graph_data_science_spark.plans.partitioning import shuffle_hash, two_level_sum
 from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
 from graph_data_science_spark.operators.scale_properties import apply_scaler
 
@@ -70,7 +70,24 @@ def pagerank(
     skew_salt: int = 0,
     mode: str = "join",
 ) -> PageRankResult:
-    """GDS ``gds.pageRank`` analog. Returns (node_id, score) + run stats."""
+    """GDS ``gds.pageRank`` analog. Returns (node_id, score) + run stats.
+
+    ``mode="join"`` (default): shuffle-join superstep — the 10^12-edge
+    cluster path. ``mode="csr"``: Arrow gather-scatter with NumPy vertex
+    state (plans/csr.py) — the single-node-class fast path, valid while
+    state fits in memory (same bound as the shared-memory reference);
+    checkpoint/resume is a join-mode feature.
+    """
+    if mode == "csr":
+        if checkpoint_dir or resume:
+            raise ValueError("checkpoint/resume requires mode='join'")
+        from graph_data_science_spark.plans.csr import pagerank_csr
+
+        scores, ran, converged, metrics = pagerank_csr(
+            graph, damping_factor, tolerance, max_iterations, weighted, source_nodes)
+        if scaler:
+            scores = apply_scaler(scores, "score", scaler)
+        return PageRankResult(scores, ran, converged, metrics)
     return _delta_push(
         graph, damping_factor, tolerance, max_iterations, weighted, source_nodes,
         scaler, checkpoint_dir, resume, skew_salt, degree_shift=0.0, mode=mode,
@@ -141,7 +158,8 @@ def _delta_push(
         msg_val = msg_val * F.col("weight")
 
     def step(st: DataFrame, superstep: int) -> DataFrame:
-        senders = st.where(F.col(ACTIVE_COL) == 1).select("node_id", "delta", "degree")
+        senders = shuffle_hash(
+            st.where(F.col(ACTIVE_COL) == 1).select("node_id", "delta", "degree"))
         raw = edges.join(senders, edges.src == senders.node_id, "inner").select(
             F.col("dst"), msg_val.alias("m")
         )
@@ -149,7 +167,7 @@ def _delta_push(
             msgs = two_level_sum(raw, "dst", "m", "msg", salt_buckets=skew_salt)
         else:
             msgs = raw.groupBy("dst").agg(F.sum("m").alias("msg"))
-        joined = st.join(msgs, st.node_id == msgs.dst, "left")
+        joined = st.join(shuffle_hash(msgs), st.node_id == msgs.dst, "left")
         new_delta = F.coalesce(F.lit(damping_factor) * F.col("msg"), F.lit(0.0))
         return joined.select(
             st.node_id,
@@ -197,7 +215,7 @@ def eigenvector(
     mval = F.col("rank") * F.col("weight") if weighted else F.col("rank")
 
     def step(st: DataFrame, superstep: int) -> DataFrame:
-        senders = st.select("node_id", "rank")
+        senders = shuffle_hash(st.select("node_id", "rank"))
         msgs = (
             edges.join(senders, edges.src == senders.node_id, "inner")
             .select(F.col("dst"), mval.alias("m"))

@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.plans.partitioning import shuffle_hash
 from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
 
 _INF = float("inf")
@@ -51,13 +52,13 @@ def _frontier_min(graph: Graph, init_dist, relax_expr, max_iterations: int,
     )
 
     def step(st: DataFrame, superstep: int) -> DataFrame:
-        frontier = st.where(F.col(ACTIVE_COL) == 1).select(
+        frontier = shuffle_hash(st.where(F.col(ACTIVE_COL) == 1).select(
             F.col("node_id").alias("_n"), F.col("dist").alias("_d")
-        )
+        ))
         cand = edges.join(frontier, edges.src == F.col("_n"), "inner").select(
             F.col("dst"), relax_expr.alias("_cand")
         ).groupBy("dst").agg(F.min("_cand").alias("_best"))
-        joined = st.join(cand, st.node_id == cand.dst, "left")
+        joined = st.join(shuffle_hash(cand), st.node_id == cand.dst, "left")
         new_dist = F.least(F.col("dist"), F.coalesce(F.col("_best"), F.col("dist")))
         return joined.select(
             st.node_id,
@@ -110,13 +111,13 @@ def dag_levels(graph: Graph, max_iterations: int = 100) -> DataFrame:
     )
 
     def step(st: DataFrame, superstep: int) -> DataFrame:
-        frontier = st.where(F.col(ACTIVE_COL) == 1).select(
+        frontier = shuffle_hash(st.where(F.col(ACTIVE_COL) == 1).select(
             F.col("node_id").alias("_n"), F.col("level").alias("_l")
-        )
+        ))
         cand = edges.join(frontier, edges.src == F.col("_n"), "inner").select(
             F.col("dst"), (F.col("_l") + 1).alias("_cand")
         ).groupBy("dst").agg(F.max("_cand").alias("_best"))
-        joined = st.join(cand, st.node_id == cand.dst, "left")
+        joined = st.join(shuffle_hash(cand), st.node_id == cand.dst, "left")
         new_level = F.greatest(F.col("level"), F.coalesce(F.col("_best"), F.col("level")))
         return joined.select(
             st.node_id,

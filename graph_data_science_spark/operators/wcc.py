@@ -33,6 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window, functions as F
 
 from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.plans.partitioning import shuffle_hash
 from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
 
 
@@ -87,15 +88,15 @@ def wcc(
 
     def step(st: DataFrame, superstep: int) -> DataFrame:
         # only nodes whose component changed last round need to re-broadcast
-        changed = st.where(F.col(ACTIVE_COL) == 1).select(
+        changed = shuffle_hash(st.where(F.col(ACTIVE_COL) == 1).select(
             F.col("node_id").alias("_n"), F.col("component").alias("_c")
-        )
+        ))
         msgs = (
             edges.join(changed, edges.src == F.col("_n"), "inner")
             .groupBy("dst")
             .agg(F.min("_c").alias("_min_c"))
         )
-        joined = st.join(msgs, st.node_id == msgs.dst, "left")
+        joined = st.join(shuffle_hash(msgs), st.node_id == msgs.dst, "left")
         new_comp = F.least(F.col("component"), F.coalesce(F.col("_min_c"), F.col("component")))
         return joined.select(
             st.node_id,

@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # superstep joins: shuffle-hash beats sort-merge (no 10^7-row sorts
+        # per iteration) and beats per-superstep rebroadcast of vertex state
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

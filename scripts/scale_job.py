@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""One scaling-run measurement: the iterative graph suite on a pre-generated
+synthetic power-law graph, at the parallelism given by SPARK_GRAFT_CPUS.
+
+Invoked by scaling_bench.py in its own JVM per parallelism level. Fixed
+superstep counts (tolerance 0, fixed iterations) so both levels execute
+identical work. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.graph import graph_from_edges
+from graph_data_science_spark.operators.label_propagation import label_propagation
+from graph_data_science_spark.operators.pagerank import pagerank
+from graph_data_science_spark.operators.triangle import triangle_count
+from graph_data_science_spark.operators.wcc import wcc
+from graph_data_science_spark.session import get_spark
+
+
+def main() -> None:
+    path = sys.argv[1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "6"))
+
+    spark = get_spark(app_name=f"gds-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    edges = spark.read.parquet(path).repartition(cpus, "src").persist()
+    n_edges = edges.count()
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct().persist()
+    )
+    n_nodes = nodes.count()
+    g = graph_from_edges(spark, edges, nodes)
+
+    out: dict = {"cpus": cpus, "n_nodes": n_nodes, "n_edges": n_edges}
+
+    t0 = time.monotonic()
+    pr = pagerank(g, tolerance=0.0, max_iterations=pr_iters)
+    pr.scores.agg(F.sum("score")).first()
+    out["pagerank_s"] = round(time.monotonic() - t0, 3)
+    out["pagerank_supersteps"] = pr.ran_iterations
+    out["pagerank_eps"] = round(n_edges * pr.ran_iterations / out["pagerank_s"], 1)
+
+    t0 = time.monotonic()
+    prc = pagerank(g, tolerance=0.0, max_iterations=pr_iters, mode="csr")
+    prc.scores.agg(F.sum("score")).first()
+    out["pagerank_csr_s"] = round(time.monotonic() - t0, 3)
+    out["pagerank_csr_eps"] = round(n_edges * prc.ran_iterations / out["pagerank_csr_s"], 1)
+
+    t0 = time.monotonic()
+    w = wcc(g)
+    w.components.agg(F.countDistinct("component")).first()
+    out["wcc_s"] = round(time.monotonic() - t0, 3)
+    out["wcc_supersteps"] = w.ran_iterations
+    out["wcc_eps"] = round(2 * n_edges * max(1, w.ran_iterations) / out["wcc_s"], 1)
+
+    t0 = time.monotonic()
+    lp = label_propagation(g, max_iterations=5)
+    lp.labels.agg(F.countDistinct("label")).first()
+    out["lpa_s"] = round(time.monotonic() - t0, 3)
+    out["lpa_supersteps"] = lp.ran_iterations
+
+    t0 = time.monotonic()
+    tc = triangle_count(g)
+    out["tc_s"] = round(time.monotonic() - t0, 3)
+    out["n_triangles"] = tc.global_count
+    out["tc_eps"] = round(n_edges / out["tc_s"], 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

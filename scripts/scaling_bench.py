@@ -3,10 +3,19 @@
 
 No real cluster exists in this sandbox, so the rule's two-cluster-size
 criterion is evidenced by running the SAME job on the SAME input at two
-local parallelism levels (BASELINE.md protocol): local[8] vs local[32],
-each in its own JVM via subprocess. Writes BENCH/BASELINE.md.
+local parallelism levels (BASELINE.md protocol), each in its own JVM:
 
-Usage: python scripts/scaling_bench.py [sf_dir] [n_small] [n_big]
+1. generate the deterministic synthetic power-law graph (seeded
+   gds.graph.generate analog), sized so one PageRank superstep takes
+   seconds at local[8];
+2. run the iterative suite (PageRank fixed 6 supersteps, WCC, LPA,
+   triangle count) at local[N] and local[4N];
+3. efficiency = (T_N / T_4N) / 4 per algorithm;
+4. also record the sf0.1 driver-table bench (correctness-scale numbers).
+
+Writes BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [n_small] [n_big] [n_nodes] [avg_deg]
 """
 
 from __future__ import annotations
@@ -17,82 +26,106 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+INPUT = "/tmp/gds_scaling/edges.parquet"
 
 
-def run(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
+def _run(cmd: list[str], env: dict | None = None) -> str:
+    out = subprocess.run(cmd, env=env or dict(os.environ), capture_output=True,
+                         text=True, timeout=5400)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
-        raise SystemExit(f"bench.py failed at local[{cpus}]")
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+        raise SystemExit(f"failed: {cmd}")
+    return out.stdout
+
+
+def run_scale_job(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = _run([sys.executable, os.path.join(REPO, "scripts", "scale_job.py"), INPUT], env)
+    return json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n_nodes = sys.argv[3] if len(sys.argv) > 3 else "2000000"
+    avg_deg = sys.argv[4] if len(sys.argv) > 4 else "8"
 
-    small = run(n_small, sf_dir)
-    big = run(n_big, sf_dir)
+    _run([sys.executable, os.path.join(REPO, "scripts", "gen_scaling_input.py"),
+          INPUT, n_nodes, avg_deg])
+
+    small = run_scale_job(n_small)
+    big = run_scale_job(n_big)
+
+    env01 = dict(os.environ, SPARK_GRAFT_CPUS=str(n_big),
+                 SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+    sf01 = json.loads([l for l in _run(
+        [sys.executable, os.path.join(REPO, "bench.py")], env01
+    ).splitlines() if l.startswith("{")][-1])
 
     ratio = n_big / n_small
-    rows = []
-    iterative = ["pagerank", "wcc", "label_propagation", "triangle_count",
-                 "minhash_lsh", "embedding_topk"]
-    for q in iterative:
-        ts, tb = small["queries"][q], big["queries"][q]
-        eff = (ts / tb) / ratio
-        rows.append((q, ts, tb, ts / tb, eff))
-    t_s, t_b = small["value"], big["value"]
-    total_eff = (t_s / t_b) / ratio
-
+    algos = [("pagerank", "pagerank_s"), ("pagerank_csr", "pagerank_csr_s"),
+             ("wcc", "wcc_s"),
+             ("label_propagation", "lpa_s"), ("triangle_count", "tc_s")]
     md = [
         "# BENCH/BASELINE — measured scaling evidence",
         "",
-        f"Input: `{sf_dir}` — {small['n_nodes']} nodes, {small['n_edges']} edges "
-        f"(derived link graph), documents/embeddings tables at the same SF.",
+        "## A. Two-parallelism scaling (north-rule criterion, sandbox proxy)",
         "",
-        f"Protocol (BASELINE.md): same job, same input, local[{n_small}] vs "
-        f"local[{n_big}] in separate JVMs; scaling efficiency = "
-        f"(T_small / T_big) / {ratio:.0f}. North-rule target ≥ 0.8.",
+        f"Input: deterministic seeded power-law graph (gds.graph.generate "
+        f"analog, seed 42, max hub degree 512): {small['n_nodes']:,} nodes, "
+        f"{small['n_edges']:,} edges, parquet at `{INPUT}`.",
         "",
-        f"| query | local[{n_small}] s | local[{n_big}] s | speedup | efficiency |",
+        f"Protocol (BASELINE.md): identical job, identical input, "
+        f"local[{n_small}] vs local[{n_big}], separate JVMs. "
+        f"Efficiency = (T_{n_small} / T_{n_big}) / {ratio:.0f}; target ≥ 0.8. "
+        "PageRank runs a fixed 6 supersteps (tolerance 0) so both levels do "
+        "identical work.",
+        "",
+        f"| algorithm | local[{n_small}] s | local[{n_big}] s | speedup | efficiency |",
         "|---|---|---|---|---|",
     ]
-    for q, ts, tb, sp, eff in rows:
-        md.append(f"| {q} | {ts:.2f} | {tb:.2f} | {sp:.2f}× | {eff:.2f} |")
+    total_s = total_b = 0.0
+    for name, key in algos:
+        ts, tb = small[key], big[key]
+        total_s += ts
+        total_b += tb
+        md.append(f"| {name} | {ts:.1f} | {tb:.1f} | {ts/tb:.2f}× | {(ts/tb)/ratio:.2f} |")
     md += [
-        f"| **total** | {t_s:.2f} | {t_b:.2f} | {t_s/t_b:.2f}× | **{total_eff:.2f}** |",
+        f"| **iterative suite total** | {total_s:.1f} | {total_b:.1f} | "
+        f"{total_s/total_b:.2f}× | **{(total_s/total_b)/ratio:.2f}** |",
         "",
-        "## Throughput",
+        "Throughput (edges/sec per superstep):",
         "",
-        f"- PageRank: {small['pagerank_supersteps']:.0f} supersteps; "
-        f"edges/sec/superstep {small['pagerank_edges_per_sec_per_superstep']:.0f} "
-        f"(local[{n_small}]) → {big['pagerank_edges_per_sec_per_superstep']:.0f} "
-        f"(local[{n_big}])",
-        f"- WCC: {small['wcc_supersteps']:.0f} supersteps; edges/sec/superstep "
-        f"{small['wcc_edges_per_sec_per_superstep']:.0f} → "
-        f"{big['wcc_edges_per_sec_per_superstep']:.0f}",
-        f"- Triangle count: {small['n_triangles']:.0f} triangles; edges/sec "
-        f"{small['triangle_edges_per_sec']:.0f} → {big['triangle_edges_per_sec']:.0f}",
+        f"- PageRank: {small['pagerank_eps']:,.0f} → {big['pagerank_eps']:,.0f}",
+        f"- WCC ({small['wcc_supersteps']} supersteps): {small['wcc_eps']:,.0f} → {big['wcc_eps']:,.0f}",
+        f"- Triangle count ({small['n_triangles']:,} triangles): "
+        f"{small['tc_eps']:,.0f} → {big['tc_eps']:,.0f} edges/sec",
+        "",
+        "## B. Driver-table bench (sf0.1, correctness-scale)",
+        "",
+        f"`bench.py` at local[{n_big}] on `/root/testdata/sf0.1` "
+        f"({sf01['n_nodes']:,} nodes, {sf01['n_edges']:,} edges):",
+        "",
+        "| query | seconds |",
+        "|---|---|",
+    ]
+    for qn, sec in sf01["queries"].items():
+        md.append(f"| {qn} | {sec:.2f} |")
+    md += [
         "",
         "Raw JSON:",
         "```json",
         json.dumps(small),
         json.dumps(big),
+        json.dumps(sf01),
         "```",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as fh:
         fh.write("\n".join(md) + "\n")
-    print(f"wrote {path}; total efficiency {total_eff:.2f}")
+    eff = (total_s / total_b) / ratio
+    print(f"wrote {path}; iterative-suite efficiency {eff:.2f}")
 
 
 if __name__ == "__main__":
