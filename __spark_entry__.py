@@ -219,6 +219,52 @@ def _kcore_sql(k: int, rounds: int = 10) -> str:
         f"FROM nodes n LEFT JOIN a{rounds} a ON n.node_id = a.node_id")
 
 
+#: nation membership as the deterministic community assignment for the
+#: community-metric oracles (mirrors _nation_communities below)
+_COMM_SQL = """
+comm AS MATERIALIZED (
+    SELECT c_custkey AS node_id, 2000000 + c_nationkey AS community FROM customer
+    UNION ALL
+    SELECT 1000000 + s_suppkey, 2000000 + s_nationkey FROM supplier
+    UNION ALL
+    SELECT 2000000 + n_nationkey, 2000000 + n_nationkey FROM nation
+),
+ec AS MATERIALIZED (
+    SELECT e.src, e.dst, 1.0 AS w, cs.community AS c_src, cd.community AS c_dst
+    FROM edges e
+    JOIN comm cs ON e.src = cs.node_id
+    JOIN comm cd ON e.dst = cd.node_id
+),
+mtot AS MATERIALIZED (SELECT SUM(w) AS m FROM ec)
+"""
+
+
+def _hits_sql(iters: int = 20) -> str:
+    parts = [f"WITH {EDGES_SQL},",
+             "h0 AS MATERIALIZED (SELECT node_id, 1.0 AS hub, 1.0 AS auth FROM nodes),"]
+    prev = "h0"
+    for k in range(1, iters + 1):
+        parts += [
+            f"am{k} AS MATERIALIZED (SELECT e.dst AS node_id, SUM(s.hub) AS a "
+            f"FROM edges e JOIN {prev} s ON e.src = s.node_id GROUP BY e.dst),",
+            f"sa{k} AS MATERIALIZED (SELECT s.node_id, s.hub, COALESCE(am.a, 0.0) AS auth "
+            f"FROM {prev} s LEFT JOIN am{k} am ON s.node_id = am.node_id),",
+            f"na{k} AS MATERIALIZED (SELECT SQRT(SUM(auth * auth)) AS nv FROM sa{k}),",
+            f"san{k} AS MATERIALIZED (SELECT node_id, hub, "
+            f"CASE WHEN nv > 0 THEN auth / nv ELSE 0.0 END AS auth FROM sa{k}, na{k}),",
+            f"hm{k} AS MATERIALIZED (SELECT e.src AS node_id, SUM(s.auth) AS h "
+            f"FROM edges e JOIN san{k} s ON e.dst = s.node_id GROUP BY e.src),",
+            f"sh{k} AS MATERIALIZED (SELECT s.node_id, COALESCE(hm.h, 0.0) AS hub, s.auth "
+            f"FROM san{k} s LEFT JOIN hm{k} hm ON s.node_id = hm.node_id),",
+            f"nh{k} AS MATERIALIZED (SELECT SQRT(SUM(hub * hub)) AS nv FROM sh{k}),",
+            f"h{k} AS MATERIALIZED (SELECT node_id, "
+            f"CASE WHEN nv > 0 THEN hub / nv ELSE 0.0 END AS hub, auth FROM sh{k}, nh{k}),",
+        ]
+        prev = f"h{k}"
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth FROM {prev}"
+
+
 _TRI_BASE = f"""WITH {EDGES_SQL},
 ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
        FROM edges WHERE src <> dst),
@@ -253,6 +299,22 @@ FROM nodes n LEFT JOIN cnt ON n.node_id = cnt.node_id LEFT JOIN dg ON n.node_id 
 # ---------------------------------------------------------------------------
 # engine-side helpers
 # ---------------------------------------------------------------------------
+
+def _nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.sources.tpch_graph import NATION_BASE, SUPP_BASE, load_tables
+
+    t = load_tables(spark, sf_dir, names=("customer", "supplier", "nation"))
+    return (
+        t["customer"].select(F.col("c_custkey").alias("node_id"),
+                             (F.lit(NATION_BASE) + F.col("c_nationkey")).alias("community"))
+        .unionByName(t["supplier"].select(
+            (F.lit(SUPP_BASE) + F.col("s_suppkey")).alias("node_id"),
+            (F.lit(NATION_BASE) + F.col("s_nationkey")).alias("community")))
+        .unionByName(t["nation"].select(
+            (F.lit(NATION_BASE) + F.col("n_nationkey")).alias("node_id"),
+            (F.lit(NATION_BASE) + F.col("n_nationkey")).alias("community")))
+    )
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -308,6 +370,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_graph(s, d), orientation="REVERSE", weighted=True)
     q["node_similarity"] = lambda s, d: node_similarity(
         _cust_supp_graph(s, d), top_k=5)
+
+    # -- centrality / community metrics / walking -----------------------------
+    from graph_data_science_spark.operators.community_metrics import (
+        conductance, modularity)
+    from graph_data_science_spark.operators.hits import hits as hits_op
+    from graph_data_science_spark.operators.walking import collapse_path
+
+    q["hits"] = lambda s, d: (lambda r: r.scores.select(
+        "node_id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    ))(hits_op(build_graph(s, d), hits_iterations=20))
+    q["modularity_nation"] = lambda s, d: _round(
+        modularity(build_graph(s, d), _nation_communities(s, d)), "modularity")
+    q["conductance_nation"] = lambda s, d: _round(
+        conductance(build_graph(s, d), _nation_communities(s, d)), "conductance")
+    q["collapse_path_2"] = lambda s, d: collapse_path(build_graph(s, d), 2)
 
     # -- paths / k-core -------------------------------------------------------
     from graph_data_science_spark.operators.kcore import coreness, k_core
@@ -397,6 +474,38 @@ rk AS (SELECT node1, node2, similarity,
               ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY similarity DESC, node2) AS rn
        FROM sc WHERE similarity >= 1e-42)
 SELECT node1, node2, similarity FROM rk WHERE rn <= 5"""
+
+    o["hits"] = _hits_sql(20)
+
+    o["modularity_nation"] = f"""WITH {EDGES_SQL},{_COMM_SQL},
+intra AS (SELECT c_src AS community, SUM(w) AS e_c FROM ec
+          WHERE c_src = c_dst GROUP BY c_src),
+deg AS (SELECT community, SUM(w) AS k_c FROM (
+            SELECT c_src AS community, w FROM ec
+            UNION ALL SELECT c_dst, w FROM ec) GROUP BY community)
+SELECT d.community,
+       ROUND(COALESCE(i.e_c, 0.0) / m.m
+             - (d.k_c / (2.0 * m.m)) * (d.k_c / (2.0 * m.m)), 6) AS modularity
+FROM deg d LEFT JOIN intra i ON d.community = i.community, mtot m"""
+
+    o["conductance_nation"] = f"""WITH {EDGES_SQL},{_COMM_SQL},
+vol AS (SELECT community, SUM(w) AS vol FROM (
+            SELECT c_src AS community, w FROM ec
+            UNION ALL SELECT c_dst, w FROM ec) GROUP BY community),
+tv AS (SELECT SUM(w) * 2 AS total_vol FROM ec),
+cut AS (SELECT community, SUM(w) AS cut FROM (
+            SELECT c_src AS community, w FROM ec WHERE c_src <> c_dst
+            UNION ALL SELECT c_dst, w FROM ec WHERE c_src <> c_dst) GROUP BY community)
+SELECT v.community,
+       ROUND(CASE WHEN LEAST(v.vol, tv.total_vol - v.vol) > 0
+                  THEN COALESCE(c.cut, 0.0) / LEAST(v.vol, tv.total_vol - v.vol)
+             END, 6) AS conductance
+FROM vol v LEFT JOIN cut c ON v.community = c.community, tv"""
+
+    o["collapse_path_2"] = f"""WITH {EDGES_SQL}
+SELECT DISTINCT a.src, b.dst
+FROM edges a JOIN edges b ON a.dst = b.src
+WHERE a.src <> b.dst"""
 
     o["bfs"] = _bfs_sql(source=1)
     o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
