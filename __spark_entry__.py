@@ -239,6 +239,26 @@ mtot AS MATERIALIZED (SELECT SUM(w) AS m FROM ec)
 """
 
 
+def _eigenvector_sql(iters: int = 10) -> str:
+    parts = [f"WITH {EDGES_SQL},",
+             "nn AS MATERIALIZED (SELECT 1.0 / SQRT(CAST(COUNT(*) AS DOUBLE)) AS iv FROM nodes),",
+             "e0 AS MATERIALIZED (SELECT node_id, iv AS rank FROM nodes, nn),"]
+    prev = "e0"
+    for k in range(1, iters + 1):
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS node_id, SUM(s.rank) AS msg "
+            f"FROM edges e JOIN {prev} s ON e.src = s.node_id GROUP BY e.dst),",
+            f"u{k} AS MATERIALIZED (SELECT s.node_id, COALESCE(m.msg, 0.0) AS unnorm "
+            f"FROM {prev} s LEFT JOIN m{k} m ON s.node_id = m.node_id),",
+            f"n{k} AS MATERIALIZED (SELECT SQRT(SUM(unnorm * unnorm)) AS nv FROM u{k}),",
+            f"e{k} AS MATERIALIZED (SELECT node_id, CASE WHEN nv > 0 THEN unnorm / nv "
+            f"ELSE 0.0 END AS rank FROM u{k}, n{k}),",
+        ]
+        prev = f"e{k}"
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, ROUND(rank, 6) AS score FROM {prev}"
+
+
 def _hits_sql(iters: int = 20) -> str:
     parts = [f"WITH {EDGES_SQL},",
              "h0 AS MATERIALIZED (SELECT node_id, 1.0 AS hub, 1.0 AS auth FROM nodes),"]
@@ -353,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pagerank(build_graph(s, d), weighted=True).scores, "score")
     q["article_rank"] = lambda s, d: _round(
         article_rank(build_graph(s, d)).scores, "score")
+    from graph_data_science_spark.operators.pagerank import eigenvector
+    q["eigenvector"] = lambda s, d: _round(
+        eigenvector(build_graph(s, d), tolerance=0.0, max_iterations=10).scores,
+        "score")
     q["wcc"] = lambda s, d: wcc(build_graph(s, d)).components
     q["wcc_threshold"] = lambda s, d: wcc(
         build_graph(s, d), threshold=2.0).components
@@ -405,6 +429,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scaled", "MINMAX"),
         "scaled")
 
+    # -- event stream (batch forms; streaming variant in streaming/events) ---
+    from graph_data_science_spark.streaming.events import (
+        sessionize, windowed_counts_batch)
+
+    q["events_sessionize"] = lambda s, d: sessionize(
+        s.read.parquet(f"{d}/events.parquet"), gap_minutes=30)
+    q["events_windowed_counts"] = lambda s, d: windowed_counts_batch(
+        s.read.parquet(f"{d}/events.parquet"), "1 hour")
+
     # -- text / dedup / similarity (training-data ops) -----------------------
     q["token_count"] = lambda s, d: token_count(_docs(s, d))
     q["token_count_bpe"] = lambda s, d: token_count_bpe_ish(_docs(s, d))
@@ -443,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
     o["pagerank"] = _pagerank_sql(weighted=False)
     o["pagerank_weighted"] = _pagerank_sql(weighted=True)
     o["article_rank"] = _pagerank_sql(weighted=False, degree_shift_sql="SELECT ad FROM avgdeg")
+    o["eigenvector"] = _eigenvector_sql(10)
     o["wcc"] = _wcc_sql()
     o["wcc_threshold"] = _wcc_sql(threshold=2.0)
     o["label_propagation"] = _lpa_sql(weighted=False)
@@ -520,6 +554,32 @@ SELECT o_orderkey,
        ROUND(CASE WHEN hi - lo = 0 THEN 0.0
                   ELSE (CAST(o_totalprice AS DOUBLE) - lo) / (hi - lo) END, 6) AS scaled
 FROM orders, st"""
+
+    o["events_sessionize"] = """
+WITH o AS (
+  SELECT event_id, ts, user_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS nw
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM o)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS t_start_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS t_end_us,
+       ROUND(SUM(value), 6) AS total_value
+FROM s GROUP BY user_id, session_idx"""
+
+    o["events_windowed_counts"] = """
+SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) AS w_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
 
     # -- text / dedup --------------------------------------------------------
     o["token_count"] = f"""

@@ -225,7 +225,8 @@ def eigenvector(
             st.node_id, st.rank.alias("old_rank"),
             F.coalesce(F.col("msg"), F.lit(0.0)).alias("unnorm"),
         )
-        norm = joined.agg(F.sqrt(F.sum(F.col("unnorm") ** 2)).alias("_norm"))
+        norm = joined.agg(
+            F.sqrt(F.sum(F.col("unnorm") * F.col("unnorm"))).alias("_norm"))
         return (
             joined.crossJoin(F.broadcast(norm))
             .select(
