@@ -152,6 +152,41 @@ def cosine_topk(
     )
 
 
+def knn(
+    graph,
+    node_properties: list[str] | str,
+    top_k: int = 10,
+    similarity_cutoff: float = 0.0,
+) -> DataFrame:
+    """``gds.knn`` analog: k nearest neighbors by node-property similarity
+    → (node1, node2, similarity).
+
+    Scalar properties are assembled into a vector; an array property is used
+    as-is; similarity = cosine. Runs on the exact GEMM kernel
+    (:func:`cosine_topk`) — the reference's NN-Descent approximation is a
+    convergence optimization, not a semantic; its `.estimate`-documented
+    output contract (top-k above cutoff) is what we reproduce.
+    """
+    if isinstance(node_properties, str):
+        node_properties = [node_properties]
+    nodes = graph.nodes
+    from pyspark.sql.types import ArrayType
+
+    if len(node_properties) == 1 and isinstance(
+        nodes.schema[node_properties[0]].dataType, ArrayType
+    ):
+        vec = F.col(node_properties[0]).cast("array<double>")
+    else:
+        vec = F.array(*[F.col(p).cast("double") for p in node_properties])
+    vecs = nodes.select(F.col("node_id").alias("vec_id"), vec.alias("embedding"))
+    out = cosine_topk(vecs, k=top_k)
+    return out.select(
+        F.col("vec_id").alias("node1"),
+        F.col("neighbor_id").alias("node2"),
+        F.col("cosine").alias("similarity"),
+    ).where(F.col("similarity") >= similarity_cutoff)
+
+
 def cosine_topk_ivf(
     vecs: DataFrame,
     k: int = 10,

@@ -81,3 +81,15 @@ def test_cosine_topk_ivf_recall(vecs):
     assert sum(recalls) / len(recalls) >= 0.6  # probing half the clusters
     # the planted near-dup must survive approximation
     assert 41 in a[40]
+
+
+def test_knn_on_node_properties(spark):
+    from graph_data_science_spark.graph import Graph, edges_from_tuples
+    from graph_data_science_spark.operators.similarity import knn
+
+    nodes = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, 0.9, 0.1), (2, 0.0, 1.0), (3, 0.1, 0.9)],
+        "node_id long, x double, y double")
+    g = Graph(nodes=nodes, edges=edges_from_tuples(spark, [(0, 1)]))
+    got = {r["node1"]: r["node2"] for r in knn(g, ["x", "y"], top_k=1).collect()}
+    assert got == {0: 1, 1: 0, 2: 3, 3: 2}
