@@ -151,6 +151,7 @@ def _run_sync(graph, edges, state, max_iterations, checkpoint_dir, resume):
         max_iterations=max_iterations,
         checkpoint_dir=checkpoint_dir,
         extra_metrics={"distinct_labels": F.countDistinct("label")},
+        manifest={"algorithm": "label_propagation", "mode": "sync"},
     )
     res = driver.run(state, step, resume=resume)
     return LabelPropagationResult(
@@ -236,7 +237,9 @@ def _run_batch_sequential(graph, edges, state, max_iterations, batch_size,
             sweep, schema=f"node_id long, label long, node_weight double, {ACTIVE_COL} int"
         )
 
-    driver = Pregel(spark, max_iterations=max_iterations, checkpoint_dir=checkpoint_dir)
+    driver = Pregel(spark, max_iterations=max_iterations, checkpoint_dir=checkpoint_dir,
+                    manifest={"algorithm": "label_propagation",
+                              "mode": "batch_sequential", "batch_size": bs})
     res = driver.run(state, step, resume=resume)
     return LabelPropagationResult(
         res.state.select("node_id", "label"),

@@ -185,6 +185,9 @@ def _delta_push(
         max_iterations=max(0, max_iterations - 1),
         checkpoint_dir=checkpoint_dir,
         extra_metrics={"delta_max": F.max("delta"), "rank_sum": F.sum("rank")},
+        manifest={"algorithm": "pagerank", "damping_factor": damping_factor,
+                  "tolerance": tolerance, "weighted": weighted,
+                  "source_nodes": source_nodes, "degree_shift": degree_shift},
     )
     res = driver.run(state, step, resume=resume)
     edges.unpersist()

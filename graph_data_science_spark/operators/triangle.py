@@ -75,7 +75,11 @@ def triangles(graph: Graph, max_degree: int | None = None) -> DataFrame:
             .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
         )
 
-    edges = edges.persist()
+    # eager localCheckpoint instead of persist: same reuse across the three
+    # consumers below, but blocks are reclaimed by the ContextCleaner when the
+    # DataFrame goes out of scope — no unpersist bookkeeping to leak (the
+    # round-1 version persisted here and never unpersisted)
+    edges = edges.localCheckpoint(eager=True)
 
     # orientation key: (degree, id) — total order, hub-avoiding
     dsrc = deg.select(F.col("n").alias("src"), F.col("deg").alias("_ds"))
@@ -88,7 +92,7 @@ def triangles(graph: Graph, max_degree: int | None = None) -> DataFrame:
         F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
         F.when(lower_first, F.col("_dd")).otherwise(F.col("_ds")).alias("hi_deg"),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # wedges at the low corner; spokes ordered by the orientation key so each
     # triangle is generated exactly once

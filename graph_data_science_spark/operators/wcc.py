@@ -109,6 +109,8 @@ def wcc(
         max_iterations=max_iterations,
         checkpoint_dir=checkpoint_dir,
         extra_metrics={"distinct_components": F.countDistinct("component")},
+        manifest={"algorithm": "wcc", "threshold": threshold,
+                  "seed_property": seed_property},
     )
     res = driver.run(state, step, resume=resume)
     edges.unpersist()

@@ -71,14 +71,25 @@ class CsrEngine:
         parted = e.repartition(num_partitions, "dst")
         weighted_k = weighted
 
+        def translate(idv, values):
+            """searchsorted + membership check: an endpoint absent from
+            graph.nodes must be DROPPED (mirrors join-mode's inner join on
+            state), not silently mapped to a neighboring slot or slot n."""
+            pos = np.searchsorted(idv, values)
+            ok = np.take(idv, np.clip(pos, 0, len(idv) - 1)) == values
+            return pos, ok
+
         def pack(batches):
             srcs, dsts, ws = [], [], []
             idv = bc_ids.value
             for b in batches:
-                srcs.append(np.searchsorted(idv, b.column(0).to_numpy()))
-                dsts.append(np.searchsorted(idv, b.column(1).to_numpy()))
+                sp, sok = translate(idv, b.column(0).to_numpy())
+                dp, dok = translate(idv, b.column(1).to_numpy())
+                keep = sok & dok
+                srcs.append(sp[keep])
+                dsts.append(dp[keep])
                 if weighted_k:
-                    ws.append(b.column(2).to_numpy().astype("float64"))
+                    ws.append(b.column(2).to_numpy().astype("float64")[keep])
             s = np.concatenate(srcs) if srcs else np.empty(0, "int64")
             d = np.concatenate(dsts) if dsts else np.empty(0, "int64")
             w = (np.concatenate(ws) if ws else np.empty(0, "float64")) if weighted_k else None

@@ -64,12 +64,17 @@ class Pregel:
         snapshot_interval: int = 1,
         extra_metrics: dict[str, Column] | None = None,
         track_partition_rows: bool | None = None,
+        manifest: dict | None = None,
     ):
         self.spark = spark
         self.max_iterations = max_iterations
         self.checkpoint_dir = checkpoint_dir
         self.snapshot_interval = max(1, snapshot_interval)
         self.extra_metrics = extra_metrics or {}
+        #: run identity (algorithm name + config) written into checkpoint_dir;
+        #: resume validates it so a dir from a different algorithm/config is
+        #: rejected instead of silently resuming incompatible state
+        self.manifest = manifest or {}
         # per-partition lineage rows cost one extra tiny job per snapshot;
         # default on only when checkpointing is on
         self.track_partition_rows = (
@@ -82,6 +87,48 @@ class Pregel:
 
     def _metrics_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "metrics.jsonl")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "manifest.json")
+
+    def _write_manifest(self) -> None:
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        with open(self._manifest_path(), "w") as fh:
+            json.dump(self.manifest, fh, sort_keys=True, default=str)
+
+    def _validate_manifest(self) -> None:
+        """Raise when resuming a checkpoint_dir written by a different
+        (algorithm, config) — stale incompatible state must not resume."""
+        path = self._manifest_path()
+        if not os.path.exists(path):
+            return  # pre-manifest dir: accept (legacy layout)
+        with open(path) as fh:
+            found = json.load(fh)
+        want = json.loads(json.dumps(self.manifest, sort_keys=True, default=str))
+        if found != want:
+            raise ValueError(
+                f"checkpoint_dir {self.checkpoint_dir!r} belongs to a different run: "
+                f"manifest on disk {found!r} != this run {want!r}")
+
+    def _prune_above(self, superstep: int) -> None:
+        """Drop snapshots above the resume point so an earlier longer run's
+        higher-numbered snapshots can't be picked up later."""
+        import shutil
+        root = os.path.join(self.checkpoint_dir, "state")
+        if not os.path.isdir(root):
+            return
+        for d in os.listdir(root):
+            if d.startswith("superstep=") and int(d.split("=")[1]) > superstep:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+    def _reset_dir(self) -> None:
+        """Fresh (non-resume) run into an existing dir: clear prior state and
+        metrics so snapshots/metrics of different runs never interleave."""
+        import shutil
+        shutil.rmtree(os.path.join(self.checkpoint_dir, "state"), ignore_errors=True)
+        for f in (self._metrics_path(),):
+            if os.path.exists(f):
+                os.remove(f)
 
     def latest_snapshot(self) -> int | None:
         """Highest superstep with a complete (_SUCCESS-marked) snapshot."""
@@ -118,10 +165,17 @@ class Pregel:
         metrics: list[dict] = []
         start_step = 0
         state = initial_state
+        if self.checkpoint_dir:
+            if resume:
+                self._validate_manifest()
+            else:
+                self._reset_dir()
+            self._write_manifest()
         if resume:
             resumed = self.resume_state()
             if resumed is not None:
                 state, start_step = resumed
+                self._prune_above(start_step - 1)
         # truncate the incoming plan too — step 0 should start from a flat scan
         state = state.localCheckpoint(eager=True)
         active = state.agg(F.sum(F.col(ACTIVE_COL).cast("long"))).first()[0] or 0

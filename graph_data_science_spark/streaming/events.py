@@ -18,10 +18,18 @@ EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, event_type string, "
 
 
 def _utc_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Normalize a possibly-NTZ timestamp column to session-TZ TIMESTAMP with
-    the session forced to UTC, so ``unix_micros`` equals the raw parquet
-    micros on every engine (DuckDB's epoch_us reads the same naive value)."""
-    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    """Normalize a possibly-NTZ timestamp column to session-TZ TIMESTAMP.
+
+    REQUIRES the session timezone to already be UTC (session.get_spark sets
+    it) so ``unix_micros`` equals the raw parquet micros on every engine
+    (DuckDB's epoch_us reads the same naive value). Asserting instead of
+    mutating: a per-DataFrame helper must not silently change timestamp
+    semantics of unrelated queries sharing the session."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"event operators require spark.sql.session.timeZone=UTC, got {tz!r}; "
+            "build the session with graph_data_science_spark.session.get_spark")
     return df.withColumn(col, F.col(col).cast("timestamp"))
 
 
@@ -90,7 +98,10 @@ def stream_windowed_counts(
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"stream_windowed_counts requires spark.sql.session.timeZone=UTC, got {tz!r}")
     if os.path.isfile(events_dir):
         # the file-stream source requires a directory (its drop-zone model);
         # stage a single-file input behind a symlink
