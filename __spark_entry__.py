@@ -233,6 +233,37 @@ def _kcore_sql(k: int, rounds: int = 10) -> str:
         f"FROM nodes n LEFT JOIN a{rounds} a ON n.node_id = a.node_id")
 
 
+def _coreness_sql(rounds: int = 12) -> str:
+    """Unrolled h-index fixpoint (same recurrence as operators/kcore.coreness).
+
+    Convergence bound: rounds to fixpoint of the h-operator — measured 3-4
+    on the link graph at sf0.01/sf0.1 (the 3-layer shape bounds it, not row
+    count); 12 carries 3× margin. Post-convergence rounds are idempotent
+    (H of an already-fixed neighborhood returns the same value)."""
+    parts = [f"WITH {EDGES_SQL},",
+             """cu AS MATERIALIZED (SELECT src, dst FROM (
+                 SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+                 FROM edges WHERE src <> dst) GROUP BY src, dst),""",
+             "u2 AS MATERIALIZED (SELECT src, dst FROM cu UNION ALL SELECT dst, src FROM cu),",
+             "dg AS MATERIALIZED (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS core "
+             "FROM u2 GROUP BY src),",
+             "c0 AS MATERIALIZED (SELECT n.node_id, COALESCE(d.core, 0) AS core "
+             "FROM nodes n LEFT JOIN dg d ON n.node_id = d.node_id),"]
+    for r in range(1, rounds + 1):
+        p = f"c{r-1}"
+        parts.append(
+            f"h{r} AS MATERIALIZED (SELECT v, MAX(LEAST(rn, c)) AS h FROM ("
+            f"SELECT e.src AS v, s.core AS c, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY s.core DESC) AS rn "
+            f"FROM u2 e JOIN {p} s ON e.dst = s.node_id) GROUP BY v),")
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT c.node_id, "
+            f"CAST(COALESCE(h.h, c.core) AS BIGINT) AS core "
+            f"FROM {p} c LEFT JOIN h{r} h ON c.node_id = h.v),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, core FROM c{rounds}"
+
+
 #: nation membership as the deterministic community assignment for the
 #: community-metric oracles (mirrors _nation_communities below)
 _COMM_SQL = """
@@ -433,7 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_graph(s, d), source=1, weighted=True).distances
     q["dag_levels"] = lambda s, d: dag_levels(build_graph(s, d))
     q["k_core_3"] = lambda s, d: k_core(build_graph(s, d), k=3)
-    q["coreness"] = lambda s, d: coreness(build_graph(s, d), max_core=64)
+    q["coreness"] = lambda s, d: coreness(build_graph(s, d))
 
     # -- scalers ---------------------------------------------------------
     q["scale_minmax"] = lambda s, d: _round(
@@ -559,6 +590,7 @@ WHERE a.src <> b.dst"""
     o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
     o["dag_levels"] = _dag_levels_sql()
     o["k_core_3"] = _kcore_sql(3)
+    o["coreness"] = _coreness_sql()
 
     # -- scalers -----------------------------------------------------------
     o["scale_minmax"] = """

@@ -9,10 +9,9 @@ Spark formulation:
   round drops nodes whose current degree < k and recounts; converges when
   no node is dropped. One partial-aggregated degree count + one semi-join
   per round.
-- :func:`coreness`: peel with the CURRENT minimum degree as k (the
-  reference's scanning approach): every round removes the min-degree
-  shell and assigns it that core value. Rounds = number of distinct
-  shells encountered, independent of node count.
+- :func:`coreness`: full decomposition via the distributed h-index
+  fixpoint (one Pregel superstep per round, no per-k driver loop) — see
+  its docstring.
 """
 
 from __future__ import annotations
@@ -20,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.plans.partitioning import shuffle_hash
+from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
 
 
 def _undirected_simple(graph: Graph) -> DataFrame:
@@ -51,43 +52,63 @@ def k_core(graph: Graph, k: int, max_iterations: int = 100) -> DataFrame:
     ).select("node_id", F.coalesce("in_core", F.lit(False)).alias("in_core"))
 
 
-def coreness(graph: Graph, max_core: int = 10_000) -> DataFrame:
+def coreness(graph: Graph, max_iterations: int = 100) -> DataFrame:
     """Core value per node → ``(node_id, core: long)``; isolated nodes = 0.
 
-    For k = 1, 2, …: cascade-remove every node whose degree in the remaining
-    subgraph is < k (their core value is the last k they survived), then
-    stamp the survivors with core = k. Driver rounds = max core value ×
-    cascade depth; each round is one partial-aggregated degree count + two
-    semi-joins, state checkpointed to keep plans flat.
-    """
-    edges = _undirected_simple(graph).localCheckpoint(eager=True)
-    result = graph.nodes.select("node_id", F.lit(0).cast("long").alias("core"))
+    Distributed h-index iteration (Montresor/De Pellegrini/Miorandi TPDS'13;
+    Lü et al. PNAS 2016): start every node at its undirected degree, then
+    repeatedly set ``core(v) = H({core(u) : u ∈ N(v)})`` where H is the
+    h-index — the largest h such that ≥ h neighbors have value ≥ h. The
+    fixpoint of this operator IS the k-core decomposition, and values only
+    decrease, so rounds after convergence are idempotent (the property the
+    unrolled SQL oracle relies on).
 
-    for k in range(1, max_core + 1):
-        # cascade: peel nodes with degree < k until none remain
-        while True:
-            if edges.isEmpty():
-                return result
-            deg = edges.groupBy(F.col("src").alias("node_id")).agg(
-                F.count(F.lit(1)).alias("_d"))
-            low_count = deg.where(F.col("_d") < k).count()
-            if low_count == 0:
-                break
-            keep = deg.where(F.col("_d") >= k).select("node_id")
-            keep = keep.localCheckpoint(eager=True)
-            edges = (
-                edges.join(keep.withColumnRenamed("node_id", "src"), "src", "left_semi")
-                .join(keep.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
-                .localCheckpoint(eager=True)
-            )
-        # everyone left has degree ≥ k in the k-core subgraph
-        survivors = edges.select(F.col("src").alias("node_id")).distinct()
-        survivors = survivors.localCheckpoint(eager=True)
-        result = result.join(
-            survivors.withColumn("_s", F.lit(1)), "node_id", "left"
-        ).select(
-            "node_id",
-            F.when(F.col("_s").isNotNull(), F.lit(k)).otherwise(F.col("core"))
-            .cast("long").alias("core"),
-        ).localCheckpoint(eager=True)
-    return result
+    This replaces the round-1 peel-per-k driver loop (O(max_core × cascade
+    depth) Spark jobs with two actions per inner round): here rounds =
+    iterations-to-fixpoint of the h-operator (typically ≪ max core on
+    power-law graphs) and each round is ONE superstep — mirrored-edges ⋈
+    state join, a per-node rank over neighbor values, one max aggregate —
+    inside the Pregel driver (lineage truncation, vote-to-halt).
+
+    Reference parity: algo/src/main/java/org/neo4j/gds/kcore/
+    KCoreDecomposition.java computes the same decomposition by scanning-peel;
+    the h-index fixpoint is the standard vertex-centric re-expression.
+    """
+    from pyspark.sql import Window
+
+    spark = graph.nodes.sparkSession
+    edges = _undirected_simple(graph).localCheckpoint(eager=True)
+
+    deg = edges.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core"))
+    state = (
+        graph.nodes.select("node_id")
+        .join(deg, "node_id", "left")
+        .select("node_id", F.coalesce("core", F.lit(0)).cast("long").alias("core"),
+                F.lit(1).cast("int").alias(ACTIVE_COL))
+    )
+
+    def step(st: DataFrame, superstep: int) -> DataFrame:
+        nbr_vals = st.select(F.col("node_id").alias("_u"), F.col("core").alias("_c"))
+        vals = edges.join(shuffle_hash(nbr_vals), edges.dst == F.col("_u"), "inner") \
+            .select(F.col("src").alias("_v"), F.col("_c"))
+        # h-index of the neighbor multiset: rank values desc per node, then
+        # H = max(min(rank, value)) — one shuffle-sort + one partial max
+        w = Window.partitionBy("_v").orderBy(F.desc("_c"))
+        hidx = (
+            vals.withColumn("_rn", F.row_number().over(w))
+            .groupBy("_v")
+            .agg(F.max(F.least(F.col("_rn").cast("long"), F.col("_c"))).alias("_h"))
+        )
+        joined = st.join(shuffle_hash(hidx), st.node_id == F.col("_v"), "left")
+        new_core = F.coalesce(F.col("_h"), F.col("core"))
+        return joined.select(
+            st.node_id,
+            new_core.alias("core"),
+            (new_core < F.col("core")).cast("int").alias(ACTIVE_COL),
+        )
+
+    driver = Pregel(spark, max_iterations=max_iterations,
+                    extra_metrics={"max_core": F.max("core")})
+    res = driver.run(state, step)
+    return res.state.select("node_id", "core")

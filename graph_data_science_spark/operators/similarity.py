@@ -37,25 +37,51 @@ def node_similarity(
     similarity_cutoff: float = 1e-42,
     degree_cutoff: int = 1,
     metric: str = "JACCARD",
+    max_neighbor_frequency: int | None = None,
+    source_node_filter=None,
+    target_node_filter=None,
 ) -> DataFrame:
     """``gds.nodeSimilarity`` analog → (node1, node2, similarity).
 
     metric ∈ {JACCARD, OVERLAP, COSINE(unweighted)}; similarity rounded 6dp.
     Only node pairs sharing ≥1 out-neighbor are scored (the reference's
     inverted-index pruning); top_k per node1 by (similarity DESC, node2 ASC).
+
+    Skew control: the self-join on ``dst`` generates O(d²) candidate pairs
+    for a shared neighbor of in-degree d — a 10^6-in-degree hub alone emits
+    10^12 pairs. ``max_neighbor_frequency`` (the ``max_shingle_freq`` pattern
+    from dedup.py) EXCLUDES shared neighbors hotter than the cap from pair
+    generation; intersection counts for pairs that also share such hubs are
+    undercounted, which only LOWERS their similarity — a documented
+    approximation matching the reference's degree-bound pruning intent
+    (nodesim/NodeSimilarity.java upper-bound cutoffs). None = exact.
+
+    ``source_node_filter`` / ``target_node_filter``: the filtered-variant
+    surface (``gds.nodeSimilarity.filtered``) — SQL predicate strings over
+    ``node_id`` applied to node1/node2 respectively, e.g. ``"node_id < 100"``.
     """
     nbrs = graph.edges.select("src", "dst").distinct()
     sizes = nbrs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ok = sizes.where(F.col("deg") >= int(degree_cutoff))
     nbrs = nbrs.join(ok.select("src"), "src", "left_semi")
 
+    pair_nbrs = nbrs
+    if max_neighbor_frequency is not None:
+        freq = nbrs.groupBy("dst").agg(F.count(F.lit(1)).alias("_f"))
+        cool = freq.where(F.col("_f") <= int(max_neighbor_frequency)).select("dst")
+        pair_nbrs = nbrs.join(cool, "dst", "left_semi")
+
     inter = (
-        nbrs.alias("x")
-        .join(nbrs.alias("y"), "dst")
+        pair_nbrs.alias("x")
+        .join(pair_nbrs.alias("y"), "dst")
         .where(F.col("x.src") != F.col("y.src"))
         .groupBy(F.col("x.src").alias("node1"), F.col("y.src").alias("node2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    for flt, col in ((source_node_filter, "node1"), (target_node_filter, "node2")):
+        if flt is not None:
+            inter = (inter.withColumn("node_id", F.col(col))
+                     .where(F.expr(flt)).drop("node_id"))
     withs = (
         inter.join(ok.select(F.col("src").alias("node1"), F.col("deg").alias("d1")), "node1")
         .join(ok.select(F.col("src").alias("node2"), F.col("deg").alias("d2")), "node2")
@@ -93,23 +119,132 @@ def _collect_matrix(vecs: DataFrame, id_col: str, vec_col: str):
     return ids, mat, norms
 
 
+def _pack_side(vecs: DataFrame, id_col: str, vec_col: str, n_blocks: int,
+               block_col: str) -> DataFrame:
+    """Group vectors into ``n_blocks`` deterministic blocks (pmod on id) and
+    pack each block into ONE row carrying (ids int64, row-normalized matrix
+    float64, both pickled). Block payloads stay on executors — this is the
+    distributed replacement for collecting an index matrix to the driver."""
+    import pickle
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy("int64")
+        mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        return pd.DataFrame({
+            block_col: [int(pdf[block_col].iloc[0])],
+            "_ids": [pickle.dumps(ids)],
+            "_mat": [pickle.dumps(mat)],
+        })
+
+    blocked = vecs.select(
+        F.pmod(F.col(id_col), F.lit(int(n_blocks))).cast("long").alias(block_col),
+        id_col, vec_col,
+    )
+    return blocked.groupBy(block_col).applyInPandas(
+        pack, schema=f"{block_col} long, _ids binary, _mat binary")
+
+
+def _cosine_topk_tiled(vecs, k, id_col, vec_col, queries,
+                       index_shards, query_blocks) -> DataFrame:
+    import pickle
+
+    spark = vecs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n_shards = int(index_shards or par)
+    n_qblocks = int(query_blocks or par)
+    kk = int(k)
+
+    index_packed = _pack_side(vecs, id_col, vec_col, n_shards, "_shard").select(
+        "_shard", F.col("_ids").alias("_iids"), F.col("_mat").alias("_imat"))
+    q = queries if queries is not None else vecs
+    query_packed = _pack_side(q, id_col, vec_col, n_qblocks, "_qblock").select(
+        "_qblock", F.col("_ids").alias("_qids"), F.col("_mat").alias("_qmat"))
+
+    # every (query block × index shard) tile: Q×S small rows; payloads move
+    # executor→executor once, the driver never sees a matrix
+    tiles = query_packed.crossJoin(index_packed).repartition(
+        max(n_shards, par), "_qblock", "_shard")
+
+    def gemm_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in range(len(pdf)):
+                row_r = pdf.iloc[r]
+                qids = pickle.loads(row_r["_qids"])
+                qmat = pickle.loads(row_r["_qmat"])
+                iids = pickle.loads(row_r["_iids"])
+                imat = pickle.loads(row_r["_imat"])
+                sims = np.round(qmat @ imat.T, 6)  # (q_rows, i_rows); 1 GEMM
+                out_q, out_i, out_c = [], [], []
+                for qi in range(sims.shape[0]):
+                    srow = sims[qi]
+                    self_mask = iids == qids[qi]
+                    srow = np.where(self_mask, -np.inf, srow)
+                    take = min(kk, srow.size - int(self_mask.sum()))
+                    if take <= 0:
+                        continue
+                    idx = np.lexsort((iids, -srow))[:take]  # shard-local top-k
+                    out_q.append(np.repeat(qids[qi], take))
+                    out_i.append(iids[idx])
+                    out_c.append(srow[idx])
+                if out_q:
+                    yield pd.DataFrame({
+                        "vec_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_i),
+                        "cosine": np.concatenate(out_c),
+                    })
+
+    partial = tiles.mapInPandas(
+        gemm_tiles, schema="vec_id long, neighbor_id long, cosine double")
+    # global top-k over ≤ k × n_shards partials per query — rank on the same
+    # rounded cosine / smaller-neighbor tie order as the shard-local pass
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= kk)
+        .drop("_rn")
+    )
+
+
 def cosine_topk(
     vecs: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    strategy: str = "tiled",
+    index_shards: int | None = None,
+    query_blocks: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k self-join → (vec_id, neighbor_id, cosine), self
     excluded, ranked (cosine DESC, neighbor_id ASC), rounded 6dp.
 
-    The index side (``vecs``) is collected to a broadcast NumPy matrix —
-    valid while the index fits the driver (embedding dims × rows; for a
-    100 TB corpus you shard the index side and union the per-shard top-k,
-    which is exactly re-invoking this function per shard + a final
-    window). The query side streams through ``mapInPandas`` as Arrow
-    batches: one GEMM per batch.
+    ``strategy="tiled"`` (default, the 100 TB path): both sides are packed
+    into executor-resident matrix blocks — index into ``index_shards``
+    shards, queries into ``query_blocks`` blocks (deterministic pmod on id)
+    — then every (query block × index shard) tile runs one BLAS GEMM inside
+    ``mapInPandas`` and emits a per-shard partial top-k; a final window takes
+    the global top-k per query. Nothing is collected to the driver, and tile
+    size is bounded by (rows/blocks × dim × 8 B) regardless of corpus size.
+    Block counts default to the session parallelism; at scale size them so a
+    tile fits executor memory (e.g. 64 MB blocks).
+
+    ``strategy="broadcast"`` (small-index fast path): the round-1 kernel —
+    index collected to a driver NumPy matrix and broadcast; query side
+    streams through as Arrow batches. Valid only while the index fits the
+    driver; kept for small dimension tables.
+
+    Both strategies rank on the 6dp-ROUNDED cosine (ties → smaller neighbor
+    id) so any engine recomputing with different summation order ranks
+    identically — the cross-engine contract.
     """
+    if strategy == "tiled":
+        return _cosine_topk_tiled(vecs, k, id_col, vec_col, queries,
+                                  index_shards, query_blocks)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = vecs.sparkSession
     ids, mat, norms = _collect_matrix(vecs, id_col, vec_col)
     b_ids = spark.sparkContext.broadcast(ids)

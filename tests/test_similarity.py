@@ -93,3 +93,36 @@ def test_knn_on_node_properties(spark):
     g = Graph(nodes=nodes, edges=edges_from_tuples(spark, [(0, 1)]))
     got = {r["node1"]: r["node2"] for r in knn(g, ["x", "y"], top_k=1).collect()}
     assert got == {0: 1, 1: 0, 2: 3, 3: 2}
+
+
+def test_cosine_topk_tiled_equals_broadcast(vecs):
+    tiled = cosine_topk(vecs, k=4, strategy="tiled",
+                        index_shards=3, query_blocks=2).collect()
+    bcast = cosine_topk(vecs, k=4, strategy="broadcast").collect()
+    key = lambda rows: sorted((r["vec_id"], r["neighbor_id"], r["cosine"])
+                              for r in rows)
+    assert key(tiled) == key(bcast)
+
+
+def test_node_similarity_hot_neighbor_cap(spark):
+    # hub 99 shared by everyone; pair (0,1) also shares 10
+    edges = edges_from_tuples(
+        spark, [(i, 99) for i in range(5)] + [(0, 10), (1, 10)])
+    g = graph_from_edges(spark, edges)
+    exact = {(r["node1"], r["node2"]): r["similarity"]
+             for r in node_similarity(g).collect()}
+    capped = {(r["node1"], r["node2"]): r["similarity"]
+              for r in node_similarity(g, max_neighbor_frequency=3).collect()}
+    # hub-only pairs disappear; (0,1) survives via the cool neighbor but is
+    # undercounted (1 shared instead of 2) — similarity only ever drops
+    assert (2, 3) in exact and (2, 3) not in capped
+    assert capped[(0, 1)] <= exact[(0, 1)]
+
+
+def test_node_similarity_filtered(spark):
+    edges = edges_from_tuples(
+        spark, [(0, 10), (1, 10), (2, 10), (3, 10)])
+    g = graph_from_edges(spark, edges)
+    rows = node_similarity(g, source_node_filter="node_id <= 1",
+                           target_node_filter="node_id >= 2").collect()
+    assert rows and all(r["node1"] <= 1 and r["node2"] >= 2 for r in rows)
