@@ -188,6 +188,54 @@ def _bfs_sql(source: int, iters: int = 6, weighted: bool = False) -> str:
     return body + f"SELECT node_id, dist AS distance FROM d{iters}"
 
 
+def _dijkstra_sql(source: int, iters: int = 6, walk: int = 6) -> str:
+    """Unrolled (dist, pred) relaxation + predecessor walk — the same
+    recurrence as operators/paths.dijkstra. dist/pred values are
+    bit-identical across engines by induction (min over identical candidate
+    sets; candidates are single adds, no reordered summation), so the float
+    equality selecting argmin predecessors is engine-portable. ``iters`` ≥
+    longest shortest-path hop count (link graph: 2; margin 3×); ``walk`` ≥
+    longest path length; post-convergence rounds idempotent."""
+    inf = "CAST('inf' AS DOUBLE)"
+    parts = [f"WITH {EDGES_SQL},",
+             f"d0 AS MATERIALIZED (SELECT node_id, CASE WHEN node_id = {source} "
+             f"THEN 0.0 ELSE {inf} END AS dist, node_id AS pred FROM nodes),"]
+    for kk in range(1, iters + 1):
+        p = f"d{kk-1}"
+        parts.append(
+            f"r{kk} AS MATERIALIZED (SELECT e.dst AS node_id, "
+            f"MIN(s.dist + e.weight) AS best "
+            f"FROM edges e JOIN {p} s ON e.src = s.node_id AND s.dist < {inf} "
+            f"GROUP BY e.dst),")
+        parts.append(
+            f"p{kk} AS MATERIALIZED (SELECT e.dst AS node_id, MIN(e.src) AS pred "
+            f"FROM edges e JOIN {p} s ON e.src = s.node_id AND s.dist < {inf} "
+            f"JOIN r{kk} r ON e.dst = r.node_id AND s.dist + e.weight = r.best "
+            f"GROUP BY e.dst),")
+        parts.append(
+            f"d{kk} AS MATERIALIZED (SELECT d.node_id, "
+            f"CASE WHEN r.best < d.dist THEN r.best ELSE d.dist END AS dist, "
+            f"CASE WHEN r.best < d.dist THEN p.pred ELSE d.pred END AS pred "
+            f"FROM {p} d LEFT JOIN r{kk} r ON d.node_id = r.node_id "
+            f"LEFT JOIN p{kk} p ON d.node_id = p.node_id),")
+    dn = f"d{iters}"
+    parts.append(
+        f"w0 AS MATERIALIZED (SELECT node_id AS target_node, dist AS total_cost, "
+        f"node_id AS cur, CAST(node_id AS VARCHAR) AS path FROM {dn} "
+        f"WHERE dist < {inf}),")
+    for j in range(1, walk + 1):
+        parts.append(
+            f"w{j} AS MATERIALIZED (SELECT w.target_node, w.total_cost, "
+            f"CASE WHEN w.cur = {source} THEN w.cur ELSE d.pred END AS cur, "
+            f"CASE WHEN w.cur = {source} THEN w.path "
+            f"ELSE CAST(d.pred AS VARCHAR) || '->' || w.path END AS path "
+            f"FROM w{j-1} w JOIN {dn} d ON w.cur = d.node_id),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + (
+        f"SELECT CAST({source} AS BIGINT) AS source_node, target_node, "
+        f"ROUND(total_cost, 6) AS total_cost, path FROM w{walk}")
+
+
 def _dag_levels_sql(iters: int = 6) -> str:
     parts = [f"WITH {EDGES_SQL},",
              "v0 AS MATERIALIZED (SELECT node_id, CAST(0 AS BIGINT) AS level FROM nodes),"]
@@ -233,6 +281,172 @@ def _kcore_sql(k: int, rounds: int = 10) -> str:
         f"FROM nodes n LEFT JOIN a{rounds} a ON n.node_id = a.node_id")
 
 
+def _msbfs_cte(rounds: int = 4) -> str:
+    """CTE chain ending in ``cum`` = (s, v, dist, sigma) for every reachable
+    pair, all nodes as sources — the MSBFS unroll shared by the betweenness/
+    closeness/harmonic/allShortestPaths oracles. ``rounds`` ≥ graph diameter
+    (link graph: 2; margin 2×); extra rounds add nothing (anti-join)."""
+    parts = ["ms0 AS MATERIALIZED (SELECT node_id AS s, node_id AS v, "
+             "CAST(0 AS BIGINT) AS dist, 1.0 AS sigma FROM nodes),",
+             "cum0 AS MATERIALIZED (SELECT * FROM ms0),"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"cd{r} AS MATERIALIZED (SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma "
+            f"FROM ms{r-1} p JOIN edges e ON e.src = p.v GROUP BY p.s, e.dst),")
+        parts.append(
+            f"ms{r} AS MATERIALIZED (SELECT c.s, c.v, CAST({r} AS BIGINT) AS dist, "
+            f"c.sigma FROM cd{r} c LEFT JOIN cum{r-1} x ON c.s = x.s AND c.v = x.v "
+            f"WHERE x.v IS NULL),")
+        parts.append(
+            f"cum{r} AS MATERIALIZED (SELECT * FROM cum{r-1} "
+            f"UNION ALL SELECT * FROM ms{r}),")
+    parts.append(f"cum AS MATERIALIZED (SELECT * FROM cum{rounds})")
+    return "\n".join(parts)
+
+
+def _betweenness_sql(rounds: int = 4) -> str:
+    """Brandes forward (MSBFS unroll) + backward dependency accumulation per
+    level, deepest first — mirrors operators/centrality.betweenness. Levels
+    above the true max depth are empty tables; the unroll is safe."""
+    parts = [f"WITH {EDGES_SQL},", _msbfs_cte(rounds) + ","]
+    parts.append(
+        f"dl{rounds} AS MATERIALIZED (SELECT s, v, 0.0 AS delta FROM cum "
+        f"WHERE dist = {rounds}),")
+    for d in range(rounds - 1, -1, -1):
+        parts.append(
+            f"dl{d} AS MATERIALIZED (SELECT p.s, p.v, "
+            f"SUM(p.sigma / q.sigma * (1.0 + COALESCE(qd.delta, 0.0))) AS delta "
+            f"FROM cum p JOIN edges e ON e.src = p.v "
+            f"JOIN cum q ON q.s = p.s AND q.v = e.dst AND q.dist = {d + 1} "
+            f"LEFT JOIN dl{d + 1} qd ON qd.s = q.s AND qd.v = q.v "
+            f"WHERE p.dist = {d} GROUP BY p.s, p.v),")
+    unions = " UNION ALL ".join(
+        f"SELECT v, delta FROM dl{d} WHERE s <> v" for d in range(rounds))
+    parts.append(f"bca AS MATERIALIZED ({unions})")
+    body = "\n".join(parts) + "\n"
+    return body + (
+        "SELECT n.node_id, ROUND(COALESCE(b.sc, 0.0), 6) AS score "
+        "FROM nodes n LEFT JOIN (SELECT v, SUM(delta) AS sc FROM bca GROUP BY v) b "
+        "ON n.node_id = b.v")
+
+
+def _closeness_sql(rounds: int = 4, wasserman_faust: bool = False) -> str:
+    wf = " * (p.r1 / (SELECT CAST(COUNT(*) - 1 AS DOUBLE) FROM nodes))" \
+        if wasserman_faust else ""
+    return (f"WITH {EDGES_SQL},\n" + _msbfs_cte(rounds) + ",\n"
+            "per AS MATERIALIZED (SELECT s, CAST(COUNT(*) - 1 AS DOUBLE) AS r1, "
+            "CAST(SUM(dist) AS DOUBLE) AS sumd FROM cum GROUP BY s)\n"
+            "SELECT n.node_id, ROUND(COALESCE(CASE WHEN p.sumd > 0 "
+            f"THEN p.r1 / p.sumd{wf} ELSE 0.0 END, 0.0), 6) AS score "
+            "FROM nodes n LEFT JOIN per p ON n.node_id = p.s")
+
+
+def _harmonic_sql(rounds: int = 4) -> str:
+    return (f"WITH {EDGES_SQL},\n" + _msbfs_cte(rounds) + ",\n"
+            "per AS MATERIALIZED (SELECT s, SUM(1.0 / dist) AS h FROM cum "
+            "WHERE dist > 0 GROUP BY s),\n"
+            "nn AS MATERIALIZED (SELECT CAST(COUNT(*) - 1 AS DOUBLE) AS d FROM nodes)\n"
+            "SELECT n.node_id, ROUND(COALESCE(p.h / nn.d, 0.0), 6) AS score "
+            "FROM nodes n LEFT JOIN per p ON n.node_id = p.s, nn")
+
+
+def _all_shortest_paths_sql(rounds: int = 4) -> str:
+    return (f"WITH {EDGES_SQL},\n" + _msbfs_cte(rounds) + "\n"
+            "SELECT s AS source_node, v AS target_node, "
+            "CAST(dist AS DOUBLE) AS distance FROM cum")
+
+
+#: back-edges that give the (otherwise acyclic) link graph real SCCs:
+#: reverse every cust→supp edge with (src+dst) % 7 == 0 — deterministic,
+#: derived identically on both engines
+_SCC_EDGES = """
+edges2 AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+    WHERE src < 1000000 AND dst >= 1000000 AND dst < 2000000
+      AND (src + dst) % 7 = 0
+)"""
+
+
+def _scc_sql(outer: int = 3, trim: int = 8, color: int = 12, sweep: int = 12) -> str:
+    """Unrolled trim + forward-max coloring + color-restricted backward sweep
+    (operators/scc.py recurrence). Measured at sf0.01/0.1: 1 outer round,
+    trim depth ≤ 4 (layered graph), color/sweep ≤ ~6 (SCC diameter);
+    margins 2-3×. Every phase is an idempotent fixpoint, so oversized
+    unrolls are safe."""
+    parts = [f"WITH {EDGES_SQL},", _SCC_EDGES + ","]
+    parts.append("al_0_end AS MATERIALIZED (SELECT node_id FROM nodes),")
+    parts.append("asg0 AS MATERIALIZED (SELECT node_id, node_id AS component "
+                 "FROM nodes WHERE 1 = 0),")
+    for o in range(1, outer + 1):
+        prev_alive = f"al_{o-1}_end"
+        prev_asg = f"asg{o-1}"
+        # trim rounds
+        a = prev_alive
+        for t in range(1, trim + 1):
+            tag = f"{o}_{t}"
+            parts.append(
+                f"te{tag} AS MATERIALIZED (SELECT e.src, e.dst FROM edges2 e "
+                f"JOIN {a} x ON e.src = x.node_id JOIN {a} y ON e.dst = y.node_id),")
+            parts.append(
+                f"tk{tag} AS MATERIALIZED (SELECT a.node_id FROM {a} a "
+                f"JOIN (SELECT DISTINCT src AS node_id FROM te{tag}) od USING (node_id) "
+                f"JOIN (SELECT DISTINCT dst AS node_id FROM te{tag}) idg USING (node_id)),")
+            parts.append(
+                f"tr{tag} AS MATERIALIZED (SELECT a.node_id, a.node_id AS component "
+                f"FROM {a} a LEFT JOIN tk{tag} k ON a.node_id = k.node_id "
+                f"WHERE k.node_id IS NULL),")
+            a = f"tk{tag}"
+        trims = " UNION ALL ".join(
+            f"SELECT * FROM tr{o}_{t}" for t in range(1, trim + 1))
+        parts.append(f"trall{o} AS MATERIALIZED ({trims}),")
+        # alive edges after trim
+        parts.append(
+            f"ae{o} AS MATERIALIZED (SELECT e.src, e.dst FROM edges2 e "
+            f"JOIN {a} x ON e.src = x.node_id JOIN {a} y ON e.dst = y.node_id),")
+        # coloring: forward max
+        parts.append(f"cl{o}_0 AS MATERIALIZED (SELECT node_id, node_id AS lab FROM {a}),")
+        for l in range(1, color + 1):
+            parts.append(
+                f"cl{o}_{l} AS MATERIALIZED (SELECT n.node_id, "
+                f"GREATEST(n.lab, COALESCE(mx.m, n.lab)) AS lab FROM cl{o}_{l-1} n "
+                f"LEFT JOIN (SELECT e.dst AS node_id, MAX(s.lab) AS m FROM ae{o} e "
+                f"JOIN cl{o}_{l-1} s ON e.src = s.node_id GROUP BY e.dst) mx "
+                f"ON n.node_id = mx.node_id),")
+        parts.append(
+            f"co{o} AS MATERIALIZED (SELECT node_id, lab AS color FROM cl{o}_{color}),")
+        # same-color edges + backward sweep (monotone reached-set fixpoint)
+        parts.append(
+            f"ce{o} AS MATERIALIZED (SELECT e.src, e.dst, cs.color FROM ae{o} e "
+            f"JOIN co{o} cs ON e.src = cs.node_id "
+            f"JOIN co{o} cd ON e.dst = cd.node_id WHERE cs.color = cd.color),")
+        parts.append(
+            f"rw{o}_0 AS MATERIALIZED (SELECT node_id, color FROM co{o} "
+            f"WHERE node_id = color),")
+        for j in range(1, sweep + 1):
+            parts.append(
+                f"rw{o}_{j} AS MATERIALIZED (SELECT DISTINCT node_id, color FROM ("
+                f"SELECT node_id, color FROM rw{o}_{j-1} "
+                f"UNION ALL "
+                f"SELECT e.src AS node_id, e.color FROM ce{o} e "
+                f"JOIN rw{o}_{j-1} r ON e.dst = r.node_id AND e.color = r.color)),")
+        parts.append(
+            f"fnd{o} AS MATERIALIZED (SELECT node_id, color AS component "
+            f"FROM rw{o}_{sweep}),")
+        parts.append(
+            f"asg{o} AS MATERIALIZED (SELECT * FROM {prev_asg} "
+            f"UNION ALL SELECT * FROM trall{o} UNION ALL SELECT * FROM fnd{o}),")
+        parts.append(
+            f"al_{o}_end AS MATERIALIZED (SELECT a.node_id FROM {a} a "
+            f"LEFT JOIN fnd{o} f ON a.node_id = f.node_id WHERE f.node_id IS NULL),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + (
+        f"SELECT a.node_id, lm.mn AS component FROM asg{outer} a "
+        f"JOIN (SELECT component, MIN(node_id) AS mn FROM asg{outer} "
+        f"GROUP BY component) lm ON a.component = lm.component")
+
+
 def _coreness_sql(rounds: int = 12) -> str:
     """Unrolled h-index fixpoint (same recurrence as operators/kcore.coreness).
 
@@ -262,6 +476,106 @@ def _coreness_sql(rounds: int = 12) -> str:
             f"FROM {p} c LEFT JOIN h{r} h ON c.node_id = h.v),")
     body = "\n".join(parts).rstrip(",") + "\n"
     return body + f"SELECT node_id, core FROM c{rounds}"
+
+
+def _louvain_sql(levels: int = 2, iters: int = 4, classes: int = 2) -> str:
+    """Unrolled deterministic Louvain (operators/louvain.py recurrence):
+    class-restricted synchronous local moving + min-member relabel + coarsen.
+
+    Engine parity requires calling the engine with the SAME fixed schedule
+    (max_levels=levels, max_iterations=iters, n_classes=classes); the engine
+    may converge earlier — post-convergence sub-rounds move nobody (strict
+    > on the rounded score), so the fixed unroll is idempotent. All scores
+    are ROUND(·, 6); on the integer-weighted link graph every operand is an
+    exact small integer, so Spark and DuckDB agree bit-for-bit.
+    Level count: the 3-layer link graph coarsens to its final shape in 2
+    levels (level 3 is a no-op — idempotence again if raised)."""
+    parts = [f"WITH {EDGES_SQL},",
+             """adj0 AS MATERIALIZED (
+    SELECT src, dst, SUM(w) AS w FROM (
+        SELECT src, dst, weight AS w FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT src, dst, weight * 2.0 FROM edges WHERE src = dst
+    ) GROUP BY src, dst),""",
+             "mm AS MATERIALIZED (SELECT SUM(w) / 2.0 AS m FROM adj0),"]
+    final_maps = []
+    for lv in range(1, levels + 1):
+        adj = f"adj{lv - 1}"
+        if lv == 1:
+            parts.append(f"sup{lv} AS MATERIALIZED (SELECT node_id FROM nodes),")
+        else:
+            parts.append(
+                f"sup{lv} AS MATERIALIZED (SELECT DISTINCT comm AS node_id "
+                f"FROM rl{lv - 1}),")
+        parts.append(
+            f"k{lv} AS MATERIALIZED (SELECT s.node_id, COALESCE(x.k, 0.0) AS k "
+            f"FROM sup{lv} s LEFT JOIN (SELECT src AS node_id, SUM(w) AS k "
+            f"FROM {adj} GROUP BY src) x ON s.node_id = x.node_id),")
+        parts.append(
+            f"c{lv}_0 AS MATERIALIZED (SELECT node_id, node_id AS comm FROM sup{lv}),")
+        n_rounds = iters * classes
+        for r in range(1, n_rounds + 1):
+            p = (r - 1) % classes
+            prev = f"c{lv}_{r - 1}"
+            t = f"{lv}_{r}"
+            parts.append(
+                f"vol{t} AS MATERIALIZED (SELECT c.comm, SUM(k.k) AS vol "
+                f"FROM {prev} c JOIN k{lv} k ON c.node_id = k.node_id GROUP BY c.comm),")
+            parts.append(
+                f"kuc{t} AS MATERIALIZED (SELECT a.src, c.comm AS C, SUM(a.w) AS kuc "
+                f"FROM {adj} a JOIN {prev} c ON a.dst = c.node_id "
+                f"WHERE a.src <> a.dst AND a.src % {classes} = {p} "
+                f"GROUP BY a.src, c.comm),")
+            parts.append(
+                f"cand{t} AS MATERIALIZED (SELECT src, C, SUM(kuc) AS kuc FROM ("
+                f"SELECT src, C, kuc FROM kuc{t} "
+                f"UNION ALL "
+                f"SELECT node_id AS src, comm AS C, 0.0 AS kuc FROM {prev} "
+                f"WHERE node_id % {classes} = {p}) GROUP BY src, C),")
+            parts.append(
+                f"sc{t} AS MATERIALIZED (SELECT d.src, cu.comm AS cur, d.C, "
+                f"ROUND(d.kuc - kk.k * (v.vol - CASE WHEN d.C = cu.comm "
+                f"THEN kk.k ELSE 0.0 END) / (2.0 * mm.m), 6) AS s "
+                f"FROM cand{t} d "
+                f"JOIN {prev} cu ON d.src = cu.node_id "
+                f"JOIN vol{t} v ON d.C = v.comm "
+                f"JOIN k{lv} kk ON d.src = kk.node_id, mm),")
+            parts.append(
+                f"ag{t} AS MATERIALIZED (SELECT src, cur, MAX(s) AS smax, "
+                f"MAX(CASE WHEN C = cur THEN s END) AS cur_s "
+                f"FROM sc{t} GROUP BY src, cur),")
+            parts.append(
+                f"bc{t} AS MATERIALIZED (SELECT x.src, a.cur, a.smax, a.cur_s, "
+                f"MIN(x.C) AS bestC "
+                f"FROM sc{t} x JOIN ag{t} a ON x.src = a.src AND x.s = a.smax "
+                f"GROUP BY x.src, a.cur, a.smax, a.cur_s),")
+            parts.append(
+                f"c{lv}_{r} AS MATERIALIZED (SELECT c.node_id, "
+                f"COALESCE(CASE WHEN u.smax > u.cur_s THEN u.bestC ELSE u.cur END, "
+                f"c.comm) AS comm "
+                f"FROM {prev} c LEFT JOIN bc{t} u ON c.node_id = u.src),")
+        last = f"c{lv}_{n_rounds}"
+        parts.append(
+            f"rl{lv} AS MATERIALIZED (SELECT c.node_id, lm.new AS comm "
+            f"FROM {last} c JOIN (SELECT comm, MIN(node_id) AS new FROM {last} "
+            f"GROUP BY comm) lm ON c.comm = lm.comm),")
+        final_maps.append(f"rl{lv}")
+        if lv < levels:
+            parts.append(
+                f"adj{lv} AS MATERIALIZED (SELECT cu.comm AS src, cv.comm AS dst, "
+                f"SUM(a.w) AS w FROM {adj} a "
+                f"JOIN rl{lv} cu ON a.src = cu.node_id "
+                f"JOIN rl{lv} cv ON a.dst = cv.node_id GROUP BY cu.comm, cv.comm),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    # compose the per-level maps: node → comm₁ → comm₂ → …
+    sel = "SELECT m1.node_id, "
+    frm = "FROM rl1 m1"
+    for i in range(2, levels + 1):
+        frm += f" JOIN rl{i} m{i} ON m{i - 1}.comm = m{i}.node_id"
+    sel += f"m{levels}.comm AS community " if levels > 1 else "m1.comm AS community "
+    return body + sel + frm
 
 
 #: nation membership as the deterministic community assignment for the
@@ -389,6 +703,20 @@ def _round(df: DataFrame, col: str, nd: int = 6) -> DataFrame:
     return df.withColumn(col, F.round(F.col(col), nd))
 
 
+def _scc_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Link graph + deterministic back-edges (mirrors _SCC_EDGES)."""
+    from graph_data_science_spark.sources.tpch_graph import NATION_BASE, SUPP_BASE
+
+    g = build_graph(spark, sf_dir)
+    back = g.edges.where(
+        (F.col("src") < SUPP_BASE) & (F.col("dst") >= SUPP_BASE)
+        & (F.col("dst") < NATION_BASE)
+        & (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) == 0)
+    ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = g.edges.select("src", "dst").unionByName(back)
+    return Graph(nodes=g.nodes, edges=edges, directed=True, name="scc-graph")
+
+
 def _cust_supp_graph(spark: SparkSession, sf_dir: str) -> Graph:
     g = build_graph(spark, sf_dir)
     from graph_data_science_spark.sources.tpch_graph import SUPP_BASE, NATION_BASE
@@ -446,6 +774,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graph_data_science_spark.operators.hits import hits as hits_op
     from graph_data_science_spark.operators.walking import collapse_path
 
+    from graph_data_science_spark.operators.louvain import (
+        leiden, louvain, modularity_optimization)
+
+    # fixed schedule matching the _louvain_sql unroll (levels=2, iters=4,
+    # classes=2); the engine converging earlier is fine — idempotence
+    q["louvain"] = lambda s, d: louvain(
+        build_graph(s, d), max_levels=2, max_iterations=4).communities
+    q["modularity_optimization"] = lambda s, d: modularity_optimization(
+        build_graph(s, d), max_iterations=4).communities
+
     q["hits"] = lambda s, d: (lambda r: r.scores.select(
         "node_id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
     ))(hits_op(build_graph(s, d), hits_iterations=20))
@@ -457,8 +795,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- paths / k-core -------------------------------------------------------
     from graph_data_science_spark.operators.kcore import coreness, k_core
-    from graph_data_science_spark.operators.paths import bfs, dag_levels, shortest_paths
+    from graph_data_science_spark.operators.paths import (
+        bfs, dag_levels, dijkstra, shortest_paths)
 
+    from graph_data_science_spark.operators.centrality import (
+        all_shortest_paths, betweenness, closeness, harmonic)
+
+    q["betweenness"] = lambda s, d: betweenness(build_graph(s, d))
+    q["closeness"] = lambda s, d: closeness(build_graph(s, d))
+    q["closeness_wf"] = lambda s, d: closeness(
+        build_graph(s, d), wasserman_faust=True)
+    q["harmonic"] = lambda s, d: harmonic(build_graph(s, d))
+    q["all_shortest_paths"] = lambda s, d: all_shortest_paths(build_graph(s, d))
+    q["shortest_path_dijkstra"] = lambda s, d: dijkstra(
+        build_graph(s, d), source=1, weighted=True).paths.select(
+        "source_node", "target_node",
+        F.round("total_cost", 6).alias("total_cost"), "path")
+    from graph_data_science_spark.operators.scc import scc as scc_op
+    q["scc"] = lambda s, d: scc_op(_scc_graph(s, d))
     q["bfs"] = lambda s, d: bfs(build_graph(s, d), source=1).distances
     q["sssp_weighted"] = lambda s, d: shortest_paths(
         build_graph(s, d), source=1, weighted=True).distances
@@ -555,6 +909,8 @@ rk AS (SELECT node1, node2, similarity,
 SELECT node1, node2, similarity FROM rk WHERE rn <= 5"""
 
     o["hits"] = _hits_sql(20)
+    o["louvain"] = _louvain_sql(levels=2, iters=4, classes=2)
+    o["modularity_optimization"] = _louvain_sql(levels=1, iters=4, classes=2)
 
     o["modularity_nation"] = f"""WITH {EDGES_SQL},{_COMM_SQL},
 intra AS (SELECT c_src AS community, SUM(w) AS e_c FROM ec
@@ -586,6 +942,13 @@ SELECT DISTINCT a.src, b.dst
 FROM edges a JOIN edges b ON a.dst = b.src
 WHERE a.src <> b.dst"""
 
+    o["betweenness"] = _betweenness_sql()
+    o["closeness"] = _closeness_sql()
+    o["closeness_wf"] = _closeness_sql(wasserman_faust=True)
+    o["harmonic"] = _harmonic_sql()
+    o["all_shortest_paths"] = _all_shortest_paths_sql()
+    o["shortest_path_dijkstra"] = _dijkstra_sql(source=1)
+    o["scc"] = _scc_sql()
     o["bfs"] = _bfs_sql(source=1)
     o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
     o["dag_levels"] = _dag_levels_sql()

@@ -94,6 +94,198 @@ def shortest_paths(graph: Graph, source: int, weighted: bool = True,
     return _frontier_min(graph, init, relax, max_iterations, weighted=weighted)
 
 
+@dataclass
+class ShortestPathResult:
+    #: (source_node, target_node, total_cost, node_ids: array<long>,
+    #:  costs: array<double>, path: '->'-joined id string)
+    paths: DataFrame
+    ran_iterations: int
+    converged: bool
+
+
+def dijkstra(graph: Graph, source: int, weighted: bool = True,
+             max_iterations: int = 100, targets: list[int] | None = None
+             ) -> ShortestPathResult:
+    """``gds.shortestPath.dijkstra`` analog WITH path reconstruction —
+    (sourceNode, targetNode, totalCost, nodeIds, costs) per reachable target
+    (paths/dijkstra/Dijkstra.java:47; PathResult schema from
+    paths/PathResult.java).
+
+    Superstep relaxation carrying an argmin PREDECESSOR: per round each
+    improved node's (dist, pred) is the min ``struct(candidate_dist, sender)``
+    over frontier offers — deterministic (equal-cost ties → smaller
+    predecessor id), so the predecessor tree and therefore every returned
+    path is unique and engine-portable (the DuckDB oracle unrolls the same
+    recurrence). Dijkstra's priority queue is a sequential scheduling
+    device; the fixpoint it computes is this relaxation's (SURVEY §2.5 —
+    delta-stepping with one bucket), reached in ≤ longest-shortest-path-hops
+    supersteps.
+
+    Path reconstruction is a second superstep loop walking ``pred`` pointers
+    backward, prepending to an accumulated array — L rounds for the longest
+    path, all targets reconstructed simultaneously (no per-target driver
+    loop)."""
+    if weighted and not graph.has_weight():
+        raise ValueError("weighted shortest paths require edges.weight")
+    spark = graph.nodes.sparkSession
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = graph.edges.select(*cols).localCheckpoint(eager=True)
+    src_id = int(source)
+
+    init = F.when(F.col("node_id") == src_id, F.lit(0.0)).otherwise(F.lit(_INF))
+    state = graph.nodes.select(
+        "node_id", init.alias("dist"),
+        F.col("node_id").alias("pred"),
+        (init < F.lit(_INF)).cast("int").alias(ACTIVE_COL),
+    )
+    relax = F.col("_d") + (F.col("weight") if weighted else F.lit(1.0))
+
+    def step(st: DataFrame, superstep: int) -> DataFrame:
+        frontier = shuffle_hash(st.where(F.col(ACTIVE_COL) == 1).select(
+            F.col("node_id").alias("_n"), F.col("dist").alias("_d")))
+        cand = (
+            edges.join(frontier, edges.src == F.col("_n"), "inner")
+            .select(F.col("dst"), relax.alias("_cd"), F.col("src").alias("_p"))
+            .groupBy("dst")
+            .agg(F.min(F.struct(F.col("_cd"), F.col("_p"))).alias("_best"))
+        )
+        joined = st.join(shuffle_hash(cand), st.node_id == cand.dst, "left")
+        better = F.col("_best._cd") < F.col("dist")
+        return joined.select(
+            st.node_id,
+            F.when(better, F.col("_best._cd")).otherwise(F.col("dist")).alias("dist"),
+            F.when(better, F.col("_best._p")).otherwise(F.col("pred")).alias("pred"),
+            F.coalesce(better, F.lit(False)).cast("int").alias(ACTIVE_COL),
+        )
+
+    driver = Pregel(spark, max_iterations=max_iterations)
+    res = driver.run(state, step)
+
+    final = res.state.where(F.col("dist") < F.lit(_INF))
+    if targets is not None:
+        tl = [int(t) for t in targets]
+        final = final.where(F.col("node_id").isin(tl))
+    preds = res.state.select(
+        F.col("node_id").alias("_pn"), F.col("pred").alias("_pp"),
+        F.col("dist").alias("_pd")).localCheckpoint(eager=True)
+
+    walk = final.select(
+        F.col("node_id").alias("target_node"),
+        F.col("dist").alias("total_cost"),
+        F.col("node_id").alias("_cur"),
+        F.array(F.col("node_id")).alias("node_ids"),
+    ).localCheckpoint(eager=True)
+    for i in range(res.ran_iterations + 1):
+        at_src = F.col("_cur") == src_id
+        walk = walk.join(preds, walk["_cur"] == preds["_pn"], "inner").select(
+            "target_node", "total_cost",
+            F.when(at_src, F.col("_cur")).otherwise(F.col("_pp")).alias("_cur"),
+            F.when(at_src, F.col("node_ids"))
+            .otherwise(F.concat(F.array(F.col("_pp")), F.col("node_ids"))).alias("node_ids"),
+        )
+        if (i + 1) % 4 == 0:
+            walk = walk.localCheckpoint(eager=True)
+
+    paths = walk.select(
+        F.lit(src_id).cast("long").alias("source_node"),
+        "target_node",
+        "total_cost",
+        "node_ids",
+        F.concat_ws("->", F.col("node_ids").cast("array<string>")).alias("path"),
+    )
+    # costs[i] = settled distance of node_ids[i] — rebuild from the final
+    # state so the array is exact regardless of walk order
+    dist_map = res.state.select(F.col("node_id").alias("_dn"), F.col("dist").alias("_dv"))
+    exploded = paths.select("source_node", "target_node", "total_cost", "path",
+                            F.posexplode("node_ids").alias("_pos", "_nid"))
+    costs = (exploded.join(dist_map, exploded["_nid"] == dist_map["_dn"])
+             .groupBy("source_node", "target_node", "total_cost", "path")
+             .agg(F.array_sort(F.collect_list(F.struct("_pos", "_nid", "_dv"))).alias("_z")))
+    out = costs.select(
+        "source_node", "target_node", "total_cost",
+        F.transform(F.col("_z"), lambda s: s["_nid"]).alias("node_ids"),
+        F.transform(F.col("_z"), lambda s: s["_dv"]).alias("costs"),
+        "path",
+    )
+    return ShortestPathResult(out, res.ran_iterations, res.converged)
+
+
+def astar(graph: Graph, source: int, target: int, weighted: bool = True,
+          max_iterations: int = 100) -> ShortestPathResult:
+    """``gds.shortestPath.astar`` analog. The haversine heuristic only
+    changes the reference's EXPLORATION ORDER (it is admissible/consistent,
+    paths/astar/AStar.java); the returned path is Dijkstra's. The superstep
+    relaxation already explores breadth-parallel, so the result is computed
+    directly: dijkstra restricted to ``target``."""
+    return dijkstra(graph, source, weighted=weighted,
+                    max_iterations=max_iterations, targets=[target])
+
+
+def yens(graph: Graph, source: int, target: int, k: int = 3,
+         weighted: bool = True, max_iterations: int = 50) -> DataFrame:
+    """``gds.shortestPath.yens`` analog → K shortest loopless paths
+    (index, total_cost, path) ordered by (cost, path) (paths/yens/Yens.java:42).
+
+    Yen's algorithm is inherently sequential in k (each next path depends on
+    all previous); the driver loop mirrors the reference's, but every spur
+    computation is a DISTRIBUTED dijkstra on a filtered graph. Spur-set
+    sizes are |previous path| per k — the driver holds only the k result
+    paths, never the graph."""
+    first = dijkstra(graph, source, weighted, max_iterations, targets=[target])
+    rows = first.paths.select("total_cost", "node_ids", "costs").collect()
+    if not rows:
+        return graph.nodes.sparkSession.createDataFrame(
+            [], "index long, total_cost double, path string")
+    # accepted entries: (total_cost, path node ids, prefix cost per node)
+    accepted = [(float(rows[0]["total_cost"]),
+                 [int(x) for x in rows[0]["node_ids"]],
+                 [float(c) for c in rows[0]["costs"]])]
+    candidates: list[tuple[float, list[int], list[float]]] = []
+
+    for _ in range(1, int(k)):
+        _, prev_path, prev_prefix = accepted[-1]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            # ban the next edge of every accepted path sharing this root, and
+            # every root node except the spur (loopless-ness)
+            banned_edges = {
+                (p[i], p[i + 1]) for _, p, _ in accepted
+                if len(p) > i + 1 and p[: i + 1] == root
+            }
+            banned_nodes = set(root[:-1])
+            e = graph.edges
+            for (a, b) in banned_edges:
+                e = e.where(~((F.col("src") == a) & (F.col("dst") == b)))
+            if banned_nodes:
+                e = e.where(~F.col("src").isin(list(banned_nodes))
+                            ).where(~F.col("dst").isin(list(banned_nodes)))
+            sub = Graph(nodes=graph.nodes, edges=e, directed=graph.directed)
+            spur_rows = dijkstra(sub, spur, weighted, max_iterations,
+                                 targets=[target]).paths \
+                .select("total_cost", "node_ids", "costs").collect()
+            if not spur_rows:
+                continue
+            sp = spur_rows[0]
+            root_cost = prev_prefix[i]
+            total = root_cost + float(sp["total_cost"])
+            path = root[:-1] + [int(x) for x in sp["node_ids"]]
+            prefix = prev_prefix[:i] + [root_cost + float(c) for c in sp["costs"]]
+            if all(p != path for _, p, _ in accepted) and \
+                    all(p != path for _, p, _ in candidates):
+                candidates.append((total, path, prefix))
+        if not candidates:
+            break
+        candidates.sort(key=lambda t: (t[0], t[1]))
+        accepted.append(candidates.pop(0))
+
+    spark = graph.nodes.sparkSession
+    return spark.createDataFrame(
+        [(idx, round(c, 6), "->".join(str(n) for n in p))
+         for idx, (c, p, _) in enumerate(accepted)],
+        "index long, total_cost double, path string")
+
+
 def dag_levels(graph: Graph, max_iterations: int = 100) -> DataFrame:
     """Longest-path-from-roots level per node → (node_id, level).
 

@@ -53,7 +53,22 @@ def _canonical_edges(graph: Graph) -> DataFrame:
 
 def triangles(graph: Graph, max_degree: int | None = None) -> DataFrame:
     """Stream of distinct triangles ``(a, b, c)``, a < b < c — the
-    ``gds.triangles`` analog (algo/.../triangle/TriangleStream.java:52)."""
+    ``gds.triangles`` analog (algo/.../triangle/TriangleStream.java:52).
+
+    The returned DataFrame is materialized (single localCheckpoint) and the
+    intermediate caches are unpersisted before returning — no block leaks
+    across repeated calls, and consumers reuse the materialized triangle
+    stream instead of recomputing the wedge join."""
+    tri, handles = _build_triangles(graph, max_degree)
+    out = tri.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def _build_triangles(graph: Graph, max_degree: int | None = None):
+    """(lazy triangle stream, [persisted handles to unpersist after
+    materialization])."""
     edges = _canonical_edges(graph)
 
     # undirected degree on the deduped simple graph
@@ -75,11 +90,11 @@ def triangles(graph: Graph, max_degree: int | None = None) -> DataFrame:
             .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
         )
 
-    # eager localCheckpoint instead of persist: same reuse across the three
-    # consumers below, but blocks are reclaimed by the ContextCleaner when the
-    # DataFrame goes out of scope — no unpersist bookkeeping to leak (the
-    # round-1 version persisted here and never unpersisted)
-    edges = edges.localCheckpoint(eager=True)
+    # lazy persist (materialized by the wedge join's first pass, reused by
+    # the closing semi-join); the caller unpersists after checkpointing the
+    # triangle stream — fixes round 1's never-unpersisted leak without the
+    # cost of eagerly materializing two intermediates
+    edges = edges.persist()
 
     # orientation key: (degree, id) — total order, hub-avoiding
     dsrc = deg.select(F.col("n").alias("src"), F.col("deg").alias("_ds"))
@@ -92,7 +107,7 @@ def triangles(graph: Graph, max_degree: int | None = None) -> DataFrame:
         F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
         F.when(lower_first, F.col("_dd")).otherwise(F.col("_ds")).alias("hi_deg"),
-    ).localCheckpoint(eager=True)
+    ).persist()
 
     # wedges at the low corner; spokes ordered by the orientation key so each
     # triangle is generated exactly once
@@ -121,7 +136,7 @@ def triangles(graph: Graph, max_degree: int | None = None) -> DataFrame:
         F.expr("greatest(least(a,b), least(greatest(a,b),c))").alias("b"),
         F.greatest(F.greatest("a", "b"), "c").alias("c"),
     )
-    return out
+    return out, [edges, oriented]
 
 
 def triangle_count(graph: Graph, max_degree: int | None = None) -> TriangleCountResult:
@@ -129,7 +144,7 @@ def triangle_count(graph: Graph, max_degree: int | None = None) -> TriangleCount
 
     Excluded (degree > max_degree) nodes report -1, like the reference.
     """
-    tri = triangles(graph, max_degree=max_degree).persist()
+    tri = triangles(graph, max_degree=max_degree)  # checkpointed, leak-free
     corners = (
         tri.select(F.col("a").alias("node_id"))
         .unionByName(tri.select(F.col("b").alias("node_id")))
@@ -137,7 +152,6 @@ def triangle_count(graph: Graph, max_degree: int | None = None) -> TriangleCount
     )
     counts = corners.groupBy("node_id").agg(F.count(F.lit(1)).alias("triangles"))
     global_count = tri.count()
-    tri.unpersist()
 
     base = graph.nodes.select("node_id")
     if max_degree is not None:

@@ -74,3 +74,46 @@ def test_coreness(spark):
     g = graph_from_edges(spark, edges, nodes)
     got = rows_to_dict(coreness(g), "node_id", "core")
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1, 6: 2, 7: 2, 8: 2, 9: 0}
+
+
+def test_dijkstra_paths(spark):
+    from graph_data_science_spark.operators.paths import astar, dijkstra
+
+    # 0→1 (5.0) vs 0→2→1 (1+1); 1→3
+    edges = edges_from_tuples(
+        spark, [(0, 1, 5.0), (0, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    rows = {r["target_node"]: r for r in dijkstra(g, source=0).paths.collect()}
+    assert rows[1]["path"] == "0->2->1" and rows[1]["total_cost"] == 2.0
+    assert rows[1]["node_ids"] == [0, 2, 1] and rows[1]["costs"] == [0.0, 1.0, 2.0]
+    assert rows[3]["path"] == "0->2->1->3" and rows[3]["total_cost"] == 3.0
+    assert rows[0]["path"] == "0" and rows[0]["total_cost"] == 0.0
+    a = astar(g, 0, 3).paths.collect()
+    assert len(a) == 1 and a[0]["path"] == "0->2->1->3"
+
+
+def test_dijkstra_equal_cost_tie_breaks_to_smaller_pred(spark):
+    # two equal-cost routes 0→1→3 and 0→2→3: pred of 3 must be 1
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    rows = {r["target_node"]: r["path"] for r in dijkstra_paths_helper(spark, g)}
+    assert rows[3] == "0->1->3"
+
+
+def dijkstra_paths_helper(spark, g):
+    from graph_data_science_spark.operators.paths import dijkstra
+    return dijkstra(g, source=0).paths.collect()
+
+
+def test_yens_k_shortest(spark):
+    from graph_data_science_spark.operators.paths import yens
+
+    # classic: 0→1→3 (2), 0→2→3 (3), 0→1→2→3 (4)
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (1, 3, 1.0), (0, 2, 1.0), (2, 3, 2.0),
+                (1, 2, 1.0)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    got = [(r["total_cost"], r["path"]) for r in
+           yens(g, 0, 3, k=3).orderBy("index").collect()]
+    assert got == [(2.0, "0->1->3"), (3.0, "0->2->3"), (4.0, "0->1->2->3")]
