@@ -356,6 +356,157 @@ def _all_shortest_paths_sql(rounds: int = 4) -> str:
             "CAST(dist AS DOUBLE) AS distance FROM cum")
 
 
+def _u01_sql(*args: str) -> str:
+    """DuckDB u01 matching embeddings._u01: md5 of ':'-joined args, top 60
+    bits / 2^60. Args are SQL expressions."""
+    joined = " || ':' || ".join(f"CAST({a} AS VARCHAR)" for a in args)
+    return (f"(CAST('0x' || substr(md5({joined}), 1, 15) AS BIGINT) "
+            f"/ 1152921504606846976.0)")
+
+
+def _fastrp_sql(dim: int = 8, seed: int = 42, n_iters: int = 3,
+                weights=(0.0, 1.0, 1.0)) -> str:
+    """Unrolled FastRP (operators/embeddings.fastrp recurrence): hash-seeded
+    very-sparse projection, ``n_iters`` neighbor-average + L2-normalize
+    rounds, weighted sum of iterations (default weights have exactly two
+    nonzero terms — a 2-addend sum is order-independent in IEEE, keeping the
+    final ROUND(·,6) engine-portable)."""
+    u = _u01_sql("n.node_id", "d.dim", str(seed))
+    parts = [f"WITH {EDGES_SQL},",
+             "ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+             "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),",
+             f"dims AS MATERIALIZED (SELECT unnest(range(0, {dim})) AS dim),",
+             f"""e0 AS MATERIALIZED (
+    SELECT node_id, dim,
+           CASE WHEN u < 1.0/6.0 THEN sqrt(3.0)
+                WHEN u < 2.0/6.0 THEN -sqrt(3.0)
+                ELSE 0.0 END AS value
+    FROM (SELECT n.node_id, d.dim, {u} AS u FROM nodes n, dims d)),"""]
+    for i in range(1, n_iters + 1):
+        p = f"e{i-1}"
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS node_id, s.dim, "
+            f"AVG(s.value) AS value FROM ue e JOIN {p} s ON e.src = s.node_id "
+            f"GROUP BY e.dst, s.dim),")
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT nd.node_id, nd.dim, "
+            f"COALESCE(m.value, 0.0) AS value FROM "
+            f"(SELECT n.node_id, d.dim FROM nodes n, dims d) nd "
+            f"LEFT JOIN m{i} m ON m.node_id = nd.node_id AND m.dim = nd.dim),")
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT node_id, SQRT(SUM(value * value)) AS nv "
+            f"FROM f{i} GROUP BY node_id),")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT f.node_id, f.dim, "
+            f"CASE WHEN n.nv > 0 THEN f.value / n.nv ELSE 0.0 END AS value "
+            f"FROM f{i} f JOIN n{i} n ON f.node_id = n.node_id),")
+    terms = [(i + 1, w) for i, w in enumerate(weights) if w]
+    sel = " + ".join(f"t{i}.value * {w!r}" for i, w in terms)
+    frm = f"e{terms[0][0]} t{terms[0][0]}"
+    for i, _ in terms[1:]:
+        frm += (f" JOIN e{i} t{i} ON t{i}.node_id = t{terms[0][0]}.node_id "
+                f"AND t{i}.dim = t{terms[0][0]}.dim")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + (
+        f"SELECT t{terms[0][0]}.node_id, t{terms[0][0]}.dim, "
+        f"ROUND({sel}, 6) AS value FROM {frm}")
+
+
+def _random_walks_sql(walk_length: int = 4, walks_per_node: int = 2,
+                      seed: int = 42) -> str:
+    """Unrolled seeded uniform walks (operators/embeddings.random_walks):
+    next hop = floor(u01(walk_id, step, seed) · deg)-th neighbor in dst
+    order. dist/pick arithmetic is identical double ops on both engines."""
+    parts = [f"WITH {EDGES_SQL},",
+             "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),",
+             "nb AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+             "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM de),",
+             "dg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM de GROUP BY src),",
+             f"w0 AS MATERIALIZED (SELECT n.node_id * {walks_per_node} + r._r AS walk_id, "
+             f"CAST(0 AS BIGINT) AS step, n.node_id FROM nodes n, "
+             f"(SELECT unnest(range(0, {walks_per_node})) AS _r) r),"]
+    for s in range(1, walk_length):
+        u = _u01_sql("c.walk_id", str(s), str(seed))
+        parts.append(
+            f"w{s} AS MATERIALIZED (SELECT c.walk_id, CAST({s} AS BIGINT) AS step, "
+            f"nb.dst AS node_id FROM w{s-1} c "
+            f"JOIN dg ON c.node_id = dg.src "
+            f"JOIN nb ON nb.src = c.node_id "
+            f"AND nb.idx = CAST(FLOOR({u} * dg.deg) AS BIGINT)),")
+    unions = " UNION ALL ".join(f"SELECT * FROM w{s}" for s in range(walk_length))
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT walk_id, step, node_id FROM ({unions})"
+
+
+def _kmeans_sql(k: int = 4, iters: int = 5) -> str:
+    """Unrolled deterministic Lloyd (operators/clustering.kmeans): seeds =
+    k lowest-id vectors; distances and centroid means ROUND(·,6) every
+    iteration (the cross-engine float contract); argmin ties → smaller
+    cluster id."""
+    parts = ["""WITH p AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(t.i - 1 AS BIGINT) AS dim,
+           CAST(embedding[t.i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),""",
+             f"""seeds AS MATERIALIZED (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster
+    FROM (SELECT DISTINCT vec_id AS id FROM embeddings ORDER BY id LIMIT {k})),""",
+             "c0 AS MATERIALIZED (SELECT s.cluster, p.dim, ROUND(p.val, 6) AS cval "
+             "FROM p JOIN seeds s ON p.id = s.id),"]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"ds{t} AS MATERIALIZED (SELECT p.id, c.cluster, "
+            f"ROUND(SUM((p.val - c.cval) * (p.val - c.cval)), 6) AS d "
+            f"FROM p JOIN c{t-1} c ON p.dim = c.dim GROUP BY p.id, c.cluster),")
+        parts.append(
+            f"am{t} AS MATERIALIZED (SELECT id, MIN(d) AS dmin FROM ds{t} GROUP BY id),")
+        parts.append(
+            f"asg{t} AS MATERIALIZED (SELECT d.id, MIN(d.cluster) AS cluster "
+            f"FROM ds{t} d JOIN am{t} a ON d.id = a.id AND d.d = a.dmin GROUP BY d.id),")
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT a.cluster, p.dim, ROUND(AVG(p.val), 6) "
+            f"AS cval FROM p JOIN asg{t} a ON p.id = a.id GROUP BY a.cluster, p.dim),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg{iters}"
+
+
+def _k1coloring_sql(rounds: int = 8) -> str:
+    """Unrolled greedy recoloring (operators/clustering.k1coloring):
+    per round, conflicted larger-id endpoints pick the smallest color not
+    in their neighborhood. Idempotent once proper; measured convergence ≤ 4
+    rounds on the link graph (hub-and-spoke shape), margin 2×."""
+    parts = [f"WITH {EDGES_SQL},",
+             """cu AS MATERIALIZED (SELECT src, dst FROM (
+                 SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+                 FROM edges WHERE src <> dst) GROUP BY src, dst),""",
+             "u2 AS MATERIALIZED (SELECT src, dst FROM cu UNION ALL SELECT dst, src FROM cu),",
+             "dg AS MATERIALIZED (SELECT src AS node_id, COUNT(*) AS deg FROM u2 GROUP BY src),",
+             "k0 AS MATERIALIZED (SELECT node_id, CAST(0 AS BIGINT) AS color FROM nodes),"]
+    for r in range(1, rounds + 1):
+        p = f"k{r-1}"
+        parts.append(
+            f"cf{r} AS MATERIALIZED (SELECT DISTINCT e.src AS node_id FROM u2 e "
+            f"JOIN {p} a ON e.src = a.node_id JOIN {p} b ON e.dst = b.node_id "
+            f"WHERE a.color = b.color AND e.src > e.dst),")
+        parts.append(
+            f"nc{r} AS MATERIALIZED (SELECT DISTINCT e.src AS node_id, "
+            f"b.color AS used FROM u2 e JOIN cf{r} f ON e.src = f.node_id "
+            f"JOIN {p} b ON e.dst = b.node_id),")
+        parts.append(
+            f"cd{r} AS MATERIALIZED (SELECT f.node_id, CAST(t.c AS BIGINT) AS c "
+            f"FROM cf{r} f JOIN dg d ON f.node_id = d.node_id, "
+            f"UNNEST(range(0, d.deg + 1)) AS t(c)),")
+        parts.append(
+            f"pk{r} AS MATERIALIZED (SELECT cd.node_id, MIN(cd.c) AS newc "
+            f"FROM cd{r} cd LEFT JOIN nc{r} n ON cd.node_id = n.node_id "
+            f"AND cd.c = n.used WHERE n.used IS NULL GROUP BY cd.node_id),")
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT k.node_id, "
+            f"COALESCE(p.newc, k.color) AS color FROM {p} k "
+            f"LEFT JOIN pk{r} p ON k.node_id = p.node_id),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, color FROM k{rounds}"
+
+
 #: back-edges that give the (otherwise acyclic) link graph real SCCs:
 #: reverse every cust→supp edge with (src+dst) % 7 == 0 — deterministic,
 #: derived identically on both engines
@@ -813,6 +964,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("total_cost", 6).alias("total_cost"), "path")
     from graph_data_science_spark.operators.scc import scc as scc_op
     q["scc"] = lambda s, d: scc_op(_scc_graph(s, d))
+
+    # -- embeddings / clustering ---------------------------------------------
+    from graph_data_science_spark.operators.clustering import k1coloring, kmeans
+    from graph_data_science_spark.operators.embeddings import fastrp, random_walks
+
+    q["fastrp"] = lambda s, d: fastrp(
+        build_graph(s, d), embedding_dim=8, seed=42, long_format=True)
+    q["random_walks"] = lambda s, d: random_walks(
+        build_graph(s, d), walk_length=4, walks_per_node=2, seed=42)
+    q["kmeans"] = lambda s, d: kmeans(
+        s.read.parquet(f"{d}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        k=4, max_iterations=5).assignment.select(
+        F.col("id").alias("vec_id"), F.col("cluster").cast("long").alias("cluster"))
+    q["k1coloring"] = lambda s, d: k1coloring(build_graph(s, d))
     q["bfs"] = lambda s, d: bfs(build_graph(s, d), source=1).distances
     q["sssp_weighted"] = lambda s, d: shortest_paths(
         build_graph(s, d), source=1, weighted=True).distances
@@ -857,6 +1023,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=3)
 
     # -- non-SQL-expressible (rows-only checks) ------------------------------
+    # leiden: adds WCC-refinement between levels — the refinement's nested
+    # fixpoint makes a fixed SQL unroll fragile (intra-community diameters
+    # aren't structurally bounded); correctness is pytest property tests
+    # (communities connected, equals louvain on clean structure)
+    q["leiden"] = lambda s, d: leiden(
+        build_graph(s, d), max_levels=2, max_iterations=4).communities
+    from graph_data_science_spark.operators.paths import dfs as dfs_op
+    from graph_data_science_spark.operators.paths import yens as yens_op
+    from graph_data_science_spark.operators.spanning import spanning_tree
+    from graph_data_science_spark.operators.walking import sample_cnarw
+
+    q["dfs"] = lambda s, d: dfs_op(build_graph(s, d), source=1)
+
+    def _yens_q(s, d):
+        from graph_data_science_spark.operators.paths import bfs as _bfs
+        g = build_graph(s, d)
+        target = _bfs(g, 1).distances.where(
+            (F.col("node_id") >= 2000000) & (F.col("distance") < float("inf"))
+        ).agg(F.min("node_id")).first()[0]
+        return yens_op(g, source=1, target=int(target), k=3)
+
+    q["yens_k3"] = _yens_q
+    q["spanning_tree"] = lambda s, d: spanning_tree(
+        build_graph(s, d).to_undirected("MIN"), start_node=1)
+    q["sample_cnarw"] = lambda s, d: sample_cnarw(
+        build_graph(s, d), start_nodes=[1, 2, 3], rounds=3)
     from graph_data_science_spark.operators.similarity import cosine_topk_ivf
     q["embedding_cosine_topk_ivf"] = lambda s, d: cosine_topk_ivf(
         s.read.parquet(f"{d}/embeddings.parquet")
@@ -949,6 +1141,10 @@ WHERE a.src <> b.dst"""
     o["all_shortest_paths"] = _all_shortest_paths_sql()
     o["shortest_path_dijkstra"] = _dijkstra_sql(source=1)
     o["scc"] = _scc_sql()
+    o["fastrp"] = _fastrp_sql()
+    o["random_walks"] = _random_walks_sql()
+    o["kmeans"] = _kmeans_sql()
+    o["k1coloring"] = _k1coloring_sql()
     o["bfs"] = _bfs_sql(source=1)
     o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
     o["dag_levels"] = _dag_levels_sql()

@@ -286,6 +286,57 @@ def yens(graph: Graph, source: int, target: int, k: int = 3,
         "index long, total_cost double, path string")
 
 
+def dfs(graph: Graph, source: int, max_depth: int | None = None) -> DataFrame:
+    """``gds.dfs`` analog → (node_id, visit_order) in preorder, neighbors
+    expanded in ASCENDING id order (traversal/DfsStreamComputer via the
+    reference's single-threaded walker — DFS order is inherently
+    sequential; the reference runs it on one thread too).
+
+    Spark shape: the REACHABLE subgraph (distributed BFS, optionally
+    ``max_depth``-bounded — the scale knob) is gathered into one
+    ``applyInPandas`` group where the stack walk runs; the driver never
+    holds the data. Valid while the reachable subgraph fits one worker —
+    the same bound the reference's single heap imposes."""
+    import pandas as pd
+
+    spark = graph.nodes.sparkSession
+    reach = bfs(graph, source).distances.where(F.col("distance") < F.lit(_INF))
+    if max_depth is not None:
+        reach = reach.where(F.col("distance") <= float(max_depth))
+    ids = reach.select("node_id")
+    edges = (
+        graph.edges.select("src", "dst")
+        .join(ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
+        .join(ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+    )
+    src_id = int(source)
+    # guarantee a non-empty group even for an isolated source
+    seeded = edges.unionByName(
+        spark.createDataFrame([(src_id, src_id)], "src long, dst long"))
+    tagged = seeded.select(F.lit(0).alias("_g"), "src", "dst")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict[int, list[int]] = {}
+        for s, t in zip(pdf["src"], pdf["dst"]):
+            if s != t:
+                adj.setdefault(int(s), []).append(int(t))
+        for v in adj:
+            adj[v].sort(reverse=True)  # stack pops smallest first
+        visited, order, stack = set(), [], [src_id]
+        while stack:
+            v = stack.pop()
+            if v in visited:
+                continue
+            visited.add(v)
+            order.append(v)
+            stack.extend(adj.get(v, []))
+        return pd.DataFrame({"node_id": order,
+                             "visit_order": range(len(order))})
+
+    return tagged.groupBy("_g").applyInPandas(
+        walk, schema="node_id long, visit_order long")
+
+
 def dag_levels(graph: Graph, max_iterations: int = 100) -> DataFrame:
     """Longest-path-from-roots level per node → (node_id, level).
 

@@ -44,6 +44,56 @@ def _u01(*cols) -> F.Column:
     return (F.pmod(h, F.lit(1 << 53)).cast("double")) / float(1 << 53)
 
 
+def sample_cnarw(graph: Graph, start_nodes: list[int], rounds: int = 10,
+                 seed: int = 42) -> DataFrame:
+    """``gds.graph.sample.cnarw`` analog — common-neighbor-aware sampling
+    (graph-sampling/.../CNARW*, after Zhou et al. "Leveraging History for
+    Faster Sampling of Online Social Networks"): frontier expansion where an
+    edge's acceptance probability is down-weighted by neighborhood OVERLAP —
+    ``p(u→v) ∝ 1 − |N(u)∩N(v)| / min(deg u, deg v)`` — so the sample
+    escapes dense clusters instead of re-admitting near-duplicates of what
+    it already has.
+
+    Same hash-randomness discipline as :func:`sample_rwr` (xxhash64 of
+    (edge, round, seed)); overlap counts are one triangle-style self-join
+    computed once up front. Returns the sampled node set (node_id)."""
+    spark = graph.nodes.sparkSession
+    edges = graph.edges.select("src", "dst").distinct().persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # |N(u) ∩ N(v)| over OUT-neighborhoods, per edge (u, v)
+    x = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    y = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    common = (x.join(y, "w").groupBy("u", "v").agg(F.count(F.lit(1)).alias("cn")))
+    weighted = (edges
+                .join(deg.withColumnRenamed("src", "_du").withColumnRenamed("deg", "du"),
+                      edges.src == F.col("_du"), "left")
+                .join(deg.withColumnRenamed("src", "_dv").withColumnRenamed("deg", "dv"),
+                      edges.dst == F.col("_dv"), "left")
+                .join(common, (edges.src == common.u) & (edges.dst == common.v), "left")
+                .select("src", "dst",
+                        (1.0 - F.coalesce("cn", F.lit(0))
+                         / F.greatest(F.least(F.coalesce("du", F.lit(1)),
+                                              F.coalesce("dv", F.lit(1))), F.lit(1)))
+                        .alias("accept_p"))
+                ).persist()
+    sampled = spark.createDataFrame(
+        [(int(s),) for s in start_nodes], "node_id long").localCheckpoint(eager=True)
+    for r in range(rounds):
+        frontier = weighted.join(
+            sampled.withColumnRenamed("node_id", "src"), "src", "left_semi"
+        ).where(
+            _u01(F.col("src"), F.col("dst"), F.lit(r), F.lit(int(seed)))
+            < F.col("accept_p")
+        ).select(F.col("dst").alias("node_id"))
+        new = sampled.unionByName(frontier).distinct().localCheckpoint(eager=True)
+        if new.count() == sampled.count():
+            break
+        sampled = new
+    edges.unpersist()
+    weighted.unpersist()
+    return sampled
+
+
 def sample_rwr(graph: Graph, start_nodes: list[int], rounds: int = 10,
                accept_prob: float = 0.5, seed: int = 42) -> DataFrame:
     """Sampled node set grown by seeded frontier expansion → (node_id).

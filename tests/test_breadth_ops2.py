@@ -1,0 +1,101 @@
+"""DFS, spanning tree (Borůvka), CNARW sampler, memory estimation."""
+
+from graph_data_science_spark.graph import edges_from_tuples, graph_from_edges
+from graph_data_science_spark.operators.estimate import (
+    fits_executors,
+    wcc_reference_bytes,
+    wcc_spark_bytes,
+)
+from graph_data_science_spark.operators.paths import dfs
+from graph_data_science_spark.operators.spanning import (
+    k_spanning_tree,
+    spanning_forest,
+    spanning_tree,
+)
+from graph_data_science_spark.operators.walking import sample_cnarw
+from tests.conftest import rows_to_dict
+
+
+def test_dfs_preorder_ascending_neighbors(spark):
+    #        0
+    #      /   \
+    #     1     2
+    #    / \     \
+    #   3   4     5
+    edges = edges_from_tuples(spark, [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)])
+    g = graph_from_edges(spark, edges)
+    order = rows_to_dict(dfs(g, 0), "visit_order", "node_id")
+    assert [order[i] for i in range(6)] == [0, 1, 3, 4, 2, 5]
+
+
+def test_dfs_isolated_source(spark):
+    edges = edges_from_tuples(spark, [(1, 2)])
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node_id long")
+    g = graph_from_edges(spark, edges, nodes)
+    got = rows_to_dict(dfs(g, 0), "visit_order", "node_id")
+    assert got == {0: 0}
+
+
+def test_dfs_max_depth(spark):
+    edges = edges_from_tuples(spark, [(0, 1), (1, 2), (2, 3)])
+    g = graph_from_edges(spark, edges)
+    got = set(rows_to_dict(dfs(g, 0, max_depth=1), "node_id", "visit_order"))
+    assert got == {0, 1}
+
+
+def test_spanning_tree_classic(spark):
+    # square 0-1-2-3 with diagonal: MST = three lightest edges
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 3.0), (3, 0, 4.0),
+                (0, 2, 5.0)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    tree = {(r["src"], r["dst"]): r["weight"]
+            for r in spanning_tree(g, start_node=0).collect()}
+    assert tree == {(0, 1): 1.0, (1, 2): 2.0, (2, 3): 3.0}
+
+
+def test_spanning_forest_two_components(spark):
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (1, 2, 5.0), (0, 2, 2.0),
+                (10, 11, 1.0)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    forest = {(r["src"], r["dst"]) for r in spanning_forest(g).collect()}
+    assert forest == {(0, 1), (0, 2), (10, 11)}
+
+
+def test_k_spanning_tree_cuts_heaviest(spark):
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (1, 2, 9.0), (2, 3, 1.0)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    kept = {(r["src"], r["dst"]) for r in
+            k_spanning_tree(g, start_node=0, k=2).collect()}
+    assert kept == {(0, 1), (2, 3)}
+
+
+def test_cnarw_sample_deterministic_and_superset_of_starts(spark):
+    edges = edges_from_tuples(
+        spark, [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)])
+    g = graph_from_edges(spark, edges)
+    s1 = {r["node_id"] for r in sample_cnarw(g, [0], rounds=5, seed=3).collect()}
+    s2 = {r["node_id"] for r in sample_cnarw(g, [0], rounds=5, seed=3).collect()}
+    assert s1 == s2 and 0 in s1
+
+
+def test_wcc_reference_estimate_matches_published_constants(spark):
+    # WccTest.java:229-250
+    assert wcc_reference_bytes(0) == 64
+    assert wcc_reference_bytes(0, seeded=True) == 104
+    assert wcc_reference_bytes(100) == 864
+    assert wcc_reference_bytes(100, seeded=True) == 1704
+    # leading order at 1e11 (reference adds paging overhead < 0.02%)
+    ref = 800_122_070_392
+    assert abs(wcc_reference_bytes(100_000_000_000) - ref) / ref < 2e-4
+
+
+def test_spark_estimate_admission_check(spark):
+    est = wcc_spark_bytes(10 ** 9, 10 ** 10)
+    assert est["state_bytes"] == int(10 ** 9 * 3 * 8 * 1.2)
+    # 10^9 nodes over 2000 partitions fits 8 GB executors…
+    assert fits_executors(est["state_bytes"], 2000, 8 * 2 ** 30)
+    # …but not over 4 partitions
+    assert not fits_executors(est["state_bytes"], 4, 8 * 2 ** 30)

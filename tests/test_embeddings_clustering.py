@@ -1,0 +1,95 @@
+"""FastRP, random walks, k-means, k1coloring."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.graph import edges_from_tuples, graph_from_edges
+from graph_data_science_spark.operators.clustering import k1coloring, kmeans
+from graph_data_science_spark.operators.embeddings import fastrp, random_walks
+from tests.conftest import rows_to_dict
+
+
+def _clique_pair(spark):
+    # two 4-cliques joined by one edge
+    e = []
+    for b in (0, 4):
+        e += [(b + i, b + j) for i in range(4) for j in range(i + 1, 4)]
+    e.append((3, 4))
+    return graph_from_edges(spark, edges_from_tuples(spark, e))
+
+
+def test_fastrp_deterministic_and_normalized(spark):
+    g = _clique_pair(spark)
+    a = fastrp(g, embedding_dim=8, seed=7).collect()
+    b = fastrp(g, embedding_dim=8, seed=7).collect()
+    ka = {r["node_id"]: r["embedding"] for r in a}
+    kb = {r["node_id"]: r["embedding"] for r in b}
+    assert ka == kb  # bit-identical across runs
+    assert all(len(v) == 8 for v in ka.values())
+    # default weights [0,1,1] sum two unit vectors → norm ≤ 2 (+rounding)
+    for v in ka.values():
+        assert math.sqrt(sum(x * x for x in v)) <= 2.000001
+
+
+def test_fastrp_same_clique_nodes_similar(spark):
+    g = _clique_pair(spark)
+    emb = {r["node_id"]: r["embedding"] for r in
+           fastrp(g, embedding_dim=16, seed=1).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return num / (da * db) if da and db else 0.0
+
+    # nodes 0..2 share all neighbors (4-clique minus the bridge node) —
+    # their neighborhoods coincide so embeddings should be close
+    assert cos(emb[0], emb[1]) > 0.9
+    assert cos(emb[0], emb[5]) < cos(emb[0], emb[1])
+
+
+def test_random_walks_shape_and_determinism(spark):
+    g = graph_from_edges(spark, edges_from_tuples(
+        spark, [(0, 1), (1, 2), (2, 0), (2, 3)]))
+    w1 = sorted((r["walk_id"], r["step"], r["node_id"])
+                for r in random_walks(g, walk_length=4, seed=5).collect())
+    w2 = sorted((r["walk_id"], r["step"], r["node_id"])
+                for r in random_walks(g, walk_length=4, seed=5).collect())
+    assert w1 == w2
+    by_walk = {}
+    for wid, step, node in w1:
+        by_walk.setdefault(wid, []).append((step, node))
+    # walk continuity: consecutive steps follow edges
+    edge_set = {(0, 1), (1, 2), (2, 0), (2, 3)}
+    for wid, seq in by_walk.items():
+        seq.sort()
+        for (s1, n1), (s2, n2) in zip(seq, seq[1:]):
+            assert s2 == s1 + 1 and (n1, n2) in edge_set
+    # walks from node 3 (sink) stop immediately
+    assert by_walk[3] == [(0, 3)]
+    with pytest.raises(NotImplementedError):
+        random_walks(g, p=0.5)
+
+
+def test_kmeans_separates_two_blobs(spark):
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)] + \
+           [(10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = kmeans(vecs, k=2, max_iterations=4)
+    got = rows_to_dict(res.assignment, "id", "cluster")
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[10 + i] for i in range(5)}) == 1
+    assert got[0] != got[10]
+
+
+def test_k1coloring_is_proper(spark):
+    # odd cycle (needs 3 colors) + chords
+    edges = edges_from_tuples(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2)])
+    g = graph_from_edges(spark, edges)
+    colors = rows_to_dict(k1coloring(g), "node_id", "color")
+    for (a, b) in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2)]:
+        assert colors[a] != colors[b]
+    assert max(colors.values()) <= 3  # greedy stays near chromatic number
