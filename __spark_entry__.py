@@ -507,6 +507,157 @@ def _k1coloring_sql(rounds: int = 8) -> str:
     return body + f"SELECT node_id, color FROM k{rounds}"
 
 
+def _maxkcut_sql(k: int = 3, iters: int = 8, classes: int = 2) -> str:
+    """Unrolled deterministic max-k-cut local moving (operators/cut.py):
+    class-restricted sync moves to the part minimizing internal weight,
+    ROUND 6dp, ties → smaller part; idempotent once converged."""
+    parts = [f"WITH {EDGES_SQL},",
+             """adjx AS MATERIALIZED (
+    SELECT src, dst, SUM(w) AS w FROM (
+        SELECT src, dst, weight AS w FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT src, dst, weight * 2.0 FROM edges WHERE src = dst
+    ) GROUP BY src, dst),""",
+             f"p0 AS MATERIALIZED (SELECT node_id, node_id % {k} AS part FROM nodes),"]
+    n_rounds = iters * classes
+    for r in range(1, n_rounds + 1):
+        p = (r - 1) % classes
+        prev = f"p{r-1}"
+        parts.append(
+            f"kvp{r} AS MATERIALIZED (SELECT a.src, c.part AS P, SUM(a.w) AS kvp "
+            f"FROM adjx a JOIN {prev} c ON a.dst = c.node_id "
+            f"WHERE a.src <> a.dst AND a.src % {classes} = {p} "
+            f"GROUP BY a.src, c.part),")
+        parts.append(
+            f"cnd{r} AS MATERIALIZED (SELECT mc.src, mc.cur, mc.cand, "
+            f"ROUND(COALESCE(kv.kvp, 0.0), 6) AS kvp FROM "
+            f"(SELECT m.node_id AS src, m.part AS cur, t.cand "
+            f"FROM {prev} m, (SELECT unnest(range(0, {k})) AS cand) t "
+            f"WHERE m.node_id % {classes} = {p}) mc "
+            f"LEFT JOIN kvp{r} kv ON kv.src = mc.src AND kv.P = mc.cand),")
+        parts.append(
+            f"ag{r}x AS MATERIALIZED (SELECT src, cur, MIN(kvp) AS kmin, "
+            f"MIN(CASE WHEN cand = cur THEN kvp END) AS cur_k "
+            f"FROM cnd{r} GROUP BY src, cur),")
+        parts.append(
+            f"bc{r}x AS MATERIALIZED (SELECT c.src, a.cur, a.kmin, a.cur_k, "
+            f"MIN(c.cand) AS bcand FROM cnd{r} c JOIN ag{r}x a "
+            f"ON c.src = a.src AND c.kvp = a.kmin "
+            f"GROUP BY c.src, a.cur, a.kmin, a.cur_k),")
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT p.node_id, "
+            f"COALESCE(CASE WHEN u.kmin < u.cur_k THEN u.bcand ELSE u.cur END, "
+            f"p.part) AS part FROM {prev} p LEFT JOIN bc{r}x u "
+            f"ON p.node_id = u.src),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + (f"SELECT node_id, CAST(part AS BIGINT) AS community "
+                   f"FROM p{n_rounds}")
+
+
+def _hashgnn_sql(feature_space: int = 64, density: float = 0.1,
+                 embedding_density: int = 8, iterations: int = 2,
+                 seed: int = 42) -> str:
+    """Unrolled HashGNN min-hash sampling (operators/embeddings.hashgnn)."""
+    u_init = _u01_sql("n.node_id", "f.feature", str(seed))
+    parts = [f"WITH {EDGES_SQL},",
+             "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),",
+             f"ftt AS MATERIALIZED (SELECT unnest(range(0, {feature_space})) AS feature),",
+             f"slt AS MATERIALIZED (SELECT unnest(range(0, {embedding_density})) AS slot),",
+             f"f0 AS MATERIALIZED (SELECT n.node_id, f.feature FROM nodes n, ftt f "
+             f"WHERE {u_init} < {density!r}),"]
+    for t in range(int(iterations)):
+        u_s = _u01_sql(str(t), "hp.slot", "hp.feature", str(seed))
+        parts.append(
+            f"pool{t} AS MATERIALIZED (SELECT DISTINCT node_id, feature FROM ("
+            f"SELECT node_id, feature FROM f{t} UNION ALL "
+            f"SELECT e.dst AS node_id, s.feature FROM de e "
+            f"JOIN f{t} s ON e.src = s.node_id)),")
+        parts.append(
+            f"hs{t} AS MATERIALIZED (SELECT hp.node_id, hp.slot, hp.feature, "
+            f"{u_s} AS h FROM (SELECT p.node_id, sl.slot, p.feature "
+            f"FROM pool{t} p, slt sl) hp),")
+        parts.append(
+            f"m1_{t} AS MATERIALIZED (SELECT node_id, slot, MIN(h) AS hmin "
+            f"FROM hs{t} GROUP BY node_id, slot),")
+        parts.append(
+            f"sm{t} AS MATERIALIZED (SELECT h.node_id, h.slot, "
+            f"MIN(h.feature) AS feature FROM hs{t} h JOIN m1_{t} m "
+            f"ON h.node_id = m.node_id AND h.slot = m.slot AND h.h = m.hmin "
+            f"GROUP BY h.node_id, h.slot),")
+        parts.append(
+            f"f{t+1} AS MATERIALIZED (SELECT DISTINCT node_id, feature FROM sm{t}),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT node_id, slot, feature FROM sm{int(iterations)-1}"
+
+
+def _celf_sql(k: int = 3, prob: float = 0.2, sims: int = 4, pool: int = 10,
+              seed: int = 42, hops: int = 4) -> str:
+    """Unrolled greedy IC influence maximization (operators/influence.py):
+    deterministic live-edge cascades, per-candidate reach BFS (``hops`` ≥
+    live-subgraph diameter — link graph: 2), then k greedy rounds of
+    marginal-gain set arithmetic. spread = covered/sims is exact rational."""
+    u_live = _u01_sql("e.src", "e.dst", "s.sim", str(seed))
+    parts = [f"WITH {EDGES_SQL},",
+             "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),",
+             "dgc AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM de GROUP BY src),",
+             f"cnds AS MATERIALIZED (SELECT src AS cand FROM ("
+             f"SELECT src, ROW_NUMBER() OVER (ORDER BY deg DESC, src) AS r "
+             f"FROM dgc) WHERE r <= {pool}),",
+             f"simt AS MATERIALIZED (SELECT unnest(range(0, {sims})) AS sim),",
+             f"live AS MATERIALIZED (SELECT s.sim, e.src, e.dst FROM de e, simt s "
+             f"WHERE {u_live} < {prob!r}),",
+             "rc0 AS MATERIALIZED (SELECT c.cand, s.sim, c.cand AS node_id "
+             "FROM cnds c, simt s),"]
+    for h in range(1, hops + 1):
+        parts.append(
+            f"rc{h} AS MATERIALIZED (SELECT DISTINCT cand, sim, node_id FROM ("
+            f"SELECT cand, sim, node_id FROM rc{h-1} UNION ALL "
+            f"SELECT r.cand, r.sim, l.dst AS node_id FROM rc{h-1} r "
+            f"JOIN live l ON l.sim = r.sim AND l.src = r.node_id)),")
+    parts.append(f"reach AS MATERIALIZED (SELECT * FROM rc{hops}),")
+    chosen_union = None
+    for r in range(int(k)):
+        excl = (f"AND c.cand NOT IN (SELECT node_id FROM ch{r-1}a)"
+                if r > 0 else "")
+        if r == 0:
+            parts.append(
+                "gn0 AS MATERIALIZED (SELECT cand, COUNT(*) AS g FROM reach "
+                "GROUP BY cand),")
+        else:
+            parts.append(
+                f"fr{r} AS MATERIALIZED (SELECT re.cand, re.sim, re.node_id "
+                f"FROM reach re LEFT JOIN cov{r-1} cv "
+                f"ON re.sim = cv.sim AND re.node_id = cv.node_id "
+                f"WHERE cv.node_id IS NULL),")
+            parts.append(
+                f"gn{r} AS MATERIALIZED (SELECT c.cand, "
+                f"COALESCE(x.g, 0) AS g FROM cnds c "
+                f"LEFT JOIN (SELECT cand, COUNT(*) AS g FROM fr{r} "
+                f"GROUP BY cand) x ON c.cand = x.cand WHERE 1=1 {excl}),")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT cand FROM gn{r} "
+            + (f"WHERE cand NOT IN (SELECT node_id FROM ch{r-1}a) " if r > 0 else "")
+            + "ORDER BY g DESC, cand LIMIT 1),")
+        prev_cov = (f"SELECT sim, node_id FROM cov{r-1} UNION ALL " if r > 0 else "")
+        parts.append(
+            f"cov{r} AS MATERIALIZED (SELECT DISTINCT sim, node_id FROM ("
+            f"{prev_cov}"
+            f"SELECT sim, node_id FROM reach WHERE cand = (SELECT cand FROM b{r}))),")
+        prev_ch = (f"SELECT node_id FROM ch{r-1}a UNION ALL " if r > 0 else "")
+        parts.append(
+            f"ch{r}a AS MATERIALIZED ({prev_ch}"
+            f"SELECT cand AS node_id FROM b{r}),")
+        parts.append(
+            f"out{r} AS MATERIALIZED (SELECT CAST({r} AS BIGINT) AS rank, "
+            f"(SELECT cand FROM b{r}) AS node_id, "
+            f"ROUND((SELECT COUNT(*) FROM cov{r}) / {float(sims)!r}, 6) AS spread),")
+    unions = " UNION ALL ".join(f"SELECT * FROM out{r}" for r in range(int(k)))
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT rank, node_id, spread FROM ({unions})"
+
+
 #: back-edges that give the (otherwise acyclic) link graph real SCCs:
 #: reverse every cust→supp edge with (src+dst) % 7 == 0 — deterministic,
 #: derived identically on both engines
@@ -979,6 +1130,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=4, max_iterations=5).assignment.select(
         F.col("id").alias("vec_id"), F.col("cluster").cast("long").alias("cluster"))
     q["k1coloring"] = lambda s, d: k1coloring(build_graph(s, d))
+
+    from graph_data_science_spark.operators.cut import maxkcut
+    from graph_data_science_spark.operators.embeddings import hashgnn
+    from graph_data_science_spark.operators.influence import (
+        influence_maximization_celf)
+
+    q["maxkcut"] = lambda s, d: maxkcut(
+        build_graph(s, d), k=3, max_iterations=8).assignment
+    q["hashgnn"] = lambda s, d: hashgnn(build_graph(s, d))
+    q["celf"] = lambda s, d: influence_maximization_celf(build_graph(s, d))
     q["bfs"] = lambda s, d: bfs(build_graph(s, d), source=1).distances
     q["sssp_weighted"] = lambda s, d: shortest_paths(
         build_graph(s, d), source=1, weighted=True).distances
@@ -1145,6 +1306,9 @@ WHERE a.src <> b.dst"""
     o["random_walks"] = _random_walks_sql()
     o["kmeans"] = _kmeans_sql()
     o["k1coloring"] = _k1coloring_sql()
+    o["maxkcut"] = _maxkcut_sql()
+    o["hashgnn"] = _hashgnn_sql()
+    o["celf"] = _celf_sql()
     o["bfs"] = _bfs_sql(source=1)
     o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
     o["dag_levels"] = _dag_levels_sql()

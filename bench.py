@@ -86,6 +86,23 @@ def main() -> None:
     extras["n_triangles"] = tc.global_count
     extras["triangle_edges_per_sec"] = n_edges / timings["triangle_count"]
 
+    # round-2 headline additions: community detection + batched centrality
+    from graph_data_science_spark.operators.centrality import betweenness
+    from graph_data_science_spark.operators.louvain import louvain
+
+    t0 = time.monotonic()
+    lv = louvain(graph, max_levels=2, max_iterations=4)
+    lv.communities.agg(F.countDistinct("community")).first()
+    timings["louvain"] = time.monotonic() - t0
+    extras["louvain_modularity"] = round(lv.modularity, 6)
+
+    t0 = time.monotonic()
+    # sampled Brandes: 256 deterministic sources — the scale posture
+    srcs = [r[0] for r in graph.nodes.select("node_id")
+            .orderBy("node_id").limit(256).collect()]
+    betweenness(graph, sources=srcs).agg(F.sum("score")).first()
+    timings["betweenness_256"] = time.monotonic() - t0
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.monotonic()
     minhash_lsh_pairs(docs, num_hashes=8, bands=4).count()

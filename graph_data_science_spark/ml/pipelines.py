@@ -1,0 +1,215 @@
+"""ML pipelines: link prediction + node classification (logistic regression).
+
+Reference analogs:
+- ``gds.beta.pipeline.linkPrediction`` — pipeline/src/main/java/org/neo4j/
+  gds/ml/pipeline/linkPipeline/LinkPredictionTrainingPipeline.java (node
+  embeddings → link feature combiner → binary classifier; negatives sampled
+  from non-edges; train/test split).
+- ``gds.beta.pipeline.nodeClassification`` — pipeline/.../node/
+  classification/NodeClassificationTrainingPipeline.java.
+- classifier: ml/ml-core/.../LogisticRegressionTrainer.java — this engine
+  implements logistic regression only (the reference's random forest / MLP
+  are NOT implemented — documented gap).
+
+Spark-first training: FULL-BATCH deterministic gradient descent where each
+iteration is ONE distributed aggregation — per-example gradient
+``(σ(w·x) − y)·x`` is computed with ``F.aggregate``/``F.transform`` array
+expressions (JVM-side, no Python), summed per component via posexplode +
+partial agg. The weight vector (d+1 floats) is the only driver state; at
+100 TB the examples stream through executors and only d+1 doubles come
+back per iteration — the textbook distributed-GD shape. Determinism: fixed
+iteration count, full batch (no sampling order), hash-based negative
+sampling and splits (embeddings._u01).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.operators.embeddings import _u01, fastrp
+
+
+@dataclass
+class LogRegModel:
+    weights: list[float]  # [bias, w_1..w_d]
+    history: list[float]  # mean log-loss per iteration
+
+
+def _dot(w: list[float]):
+    """Column expr: w[0] + Σ w[i+1]·x[i] — pure Catalyst array arithmetic."""
+    expr = F.lit(float(w[0]))
+    arr = F.col("x")
+    for i in range(1, len(w)):
+        expr = expr + F.lit(float(w[i])) * F.element_at(arr, i)
+    return expr
+
+
+def logreg_fit(examples: DataFrame, dim: int, iterations: int = 20,
+               learning_rate: float = 0.5, l2: float = 0.0) -> LogRegModel:
+    """Fit on (x: array<double>[dim], y: double∈{0,1}) — one distributed
+    aggregation per iteration, d+1 doubles to the driver."""
+    ex = examples.select("x", F.col("y").cast("double").alias("y"))
+    ex = ex.localCheckpoint(eager=True)
+    n = ex.count()
+    if n == 0:
+        raise ValueError("no training examples")
+    w = [0.0] * (dim + 1)
+    history = []
+    for _ in range(int(iterations)):
+        z = _dot(w)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.greatest(F.lit(-30.0),
+                                                         F.least(F.lit(30.0), z))))
+        err = (p - F.col("y")).alias("_e")
+        graded = ex.select(
+            err,
+            F.transform(F.col("x"), lambda xi: xi * (p - F.col("y"))).alias("_g"),
+            (-(F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
+               + (1 - F.col("y")) * F.log(F.greatest(1 - p, F.lit(1e-12))))).alias("_l"),
+        )
+        # one shuffle: per-component partial sums; every component group also
+        # carries Σerr (bias gradient) and Σloss — read them off group 0
+        row = (graded
+               .select("_e", "_l", F.posexplode("_g").alias("_i", "_gi"))
+               .groupBy("_i")
+               .agg(F.sum("_gi").alias("g"), F.sum("_e").alias("ge"),
+                    F.sum("_l").alias("loss"))
+               .collect())
+        by_i = {int(r["_i"]): r for r in row}
+        loss = float(by_i[0]["loss"]) / n
+        grad = [float(by_i[0]["ge"]) / n] + [
+            float(by_i[i]["g"]) / n for i in range(dim)]
+        lr = float(learning_rate)
+        w = [wi - lr * (gi + float(l2) * wi) for wi, gi in zip(w, grad)]
+        history.append(round(float(loss), 6))
+    return LogRegModel(w, history)
+
+
+def predict_proba(df: DataFrame, model: LogRegModel, out: str = "probability"
+                  ) -> DataFrame:
+    z = _dot(model.weights)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.greatest(F.lit(-30.0),
+                                                     F.least(F.lit(30.0), z))))
+    return df.withColumn(out, F.round(p, 6))
+
+
+def _hadamard(a: str, b: str):
+    return F.zip_with(F.col(a), F.col(b), lambda x, y: x * y)
+
+
+@dataclass
+class LinkPredictionResult:
+    model: LogRegModel
+    test_predictions: DataFrame  # (src, dst, y, probability)
+    test_accuracy: float
+
+
+def link_prediction_pipeline(
+    graph: Graph,
+    embedding_dim: int = 16,
+    iterations: int = 20,
+    learning_rate: float = 0.5,
+    negative_ratio: float = 1.0,
+    holdout: float = 0.25,
+    seed: int = 42,
+) -> LinkPredictionResult:
+    """Train/eval a link-prediction pipeline: fastRP node embeddings →
+    hadamard link features → logistic regression. Negatives are
+    hash-sampled node pairs verified NOT to be edges (anti-join)."""
+    spark = graph.nodes.sparkSession
+    emb = fastrp(graph, embedding_dim=embedding_dim, seed=seed)
+    emb = emb.localCheckpoint(eager=True)
+
+    pos = graph.edges.select("src", "dst").distinct() \
+        .where(F.col("src") != F.col("dst"))
+    n_pos = pos.count()
+    # hash-derived candidate pairs, anti-joined against real edges
+    nodes = graph.nodes.select("node_id")
+    n_nodes = nodes.count()
+    want_neg = int(n_pos * float(negative_ratio))
+    factor = max(1, math.ceil(3 * want_neg / max(1, n_pos)))
+    reps = spark.range(factor).select(F.col("id").alias("_r"))
+    cand = (pos.crossJoin(F.broadcast(reps))
+            .select(
+                F.col("src"),
+                (F.pmod(F.conv(F.substring(F.md5(F.concat_ws(
+                    ":", F.col("src"), F.col("dst"), F.col("_r"),
+                    F.lit(seed))), 1, 15), 16, 10).cast("long"),
+                    F.lit(n_nodes))).alias("_idx"))
+            )
+    idx = nodes.withColumn(
+        "_idx", F.row_number().over(Window.orderBy("node_id")) - 1)
+    neg = (cand.join(idx, "_idx").select("src", F.col("node_id").alias("dst"))
+           .where(F.col("src") != F.col("dst"))
+           .join(pos, ["src", "dst"], "left_anti")
+           .dropDuplicates(["src", "dst"])
+           .limit(want_neg))
+    ex = (pos.withColumn("y", F.lit(1.0))
+          .unionByName(neg.withColumn("y", F.lit(0.0))))
+    ea = emb.select(F.col("node_id").alias("src"), F.col("embedding").alias("_ea"))
+    eb = emb.select(F.col("node_id").alias("dst"), F.col("embedding").alias("_eb"))
+    feat = (ex.join(ea, "src").join(eb, "dst")
+            .select("src", "dst", "y", _hadamard("_ea", "_eb").alias("x")))
+    is_test = _u01(F.col("src"), F.col("dst"), F.lit(seed + 1)) < float(holdout)
+    feat = feat.withColumn("_test", is_test).localCheckpoint(eager=True)
+    train = feat.where(~F.col("_test"))
+    test = feat.where(F.col("_test"))
+    model = logreg_fit(train.select("x", "y"), embedding_dim, iterations,
+                       learning_rate)
+    preds = predict_proba(test.select("src", "dst", "y", "x"), model) \
+        .drop("x")
+    acc_row = preds.select(
+        F.avg(((F.col("probability") >= 0.5).cast("double") == F.col("y"))
+              .cast("double")).alias("acc")).first()
+    return LinkPredictionResult(model, preds, float(acc_row["acc"] or 0.0))
+
+
+@dataclass
+class NodeClassificationResult:
+    models: dict[int, LogRegModel]
+    test_predictions: DataFrame  # (node_id, y, predicted)
+    test_accuracy: float
+
+
+def node_classification_pipeline(
+    graph: Graph,
+    labels: DataFrame,  # (node_id, label: long)
+    embedding_dim: int = 16,
+    iterations: int = 20,
+    holdout: float = 0.25,
+    seed: int = 42,
+) -> NodeClassificationResult:
+    """fastRP features → one-vs-rest logistic regression per label class."""
+    emb = fastrp(graph, embedding_dim=embedding_dim, seed=seed) \
+        .localCheckpoint(eager=True)
+    data = labels.join(emb, "node_id").select(
+        "node_id", F.col("label").cast("long").alias("label"),
+        F.col("embedding").alias("x"))
+    data = data.withColumn(
+        "_test", _u01(F.col("node_id"), F.lit(seed + 2)) < float(holdout)
+    ).localCheckpoint(eager=True)
+    train = data.where(~F.col("_test"))
+    test = data.where(F.col("_test"))
+    classes = sorted(r[0] for r in train.select("label").distinct().collect())
+    models: dict[int, LogRegModel] = {}
+    scored = test.select("node_id", "label", "x")
+    for c in classes:
+        m = logreg_fit(
+            train.select("x", (F.col("label") == int(c)).cast("double").alias("y")),
+            embedding_dim, iterations)
+        models[int(c)] = m
+        scored = predict_proba(scored, m, out=f"_p{c}")
+    best = None
+    for c in classes:
+        col = F.struct(F.col(f"_p{c}").alias("p"), F.lit(int(c)).alias("c"))
+        best = col if best is None else F.when(
+            F.col(f"_p{c}") > best["p"], col).otherwise(best)
+    preds = scored.withColumn("predicted", best["c"]) \
+        .select("node_id", F.col("label").alias("y"), "predicted")
+    acc = preds.select(
+        F.avg((F.col("predicted") == F.col("y")).cast("double")).alias("a")
+    ).first()["a"]
+    return NodeClassificationResult(models, preds, float(acc or 0.0))

@@ -119,6 +119,164 @@ def fastrp(
         scratch.cleanup()
 
 
+def node2vec(
+    graph: Graph,
+    embedding_dim: int = 16,
+    walk_length: int = 8,
+    walks_per_node: int = 2,
+    window_size: int = 3,
+    negative_samples: int = 2,
+    epochs: int = 1,
+    learning_rate: float = 0.025,
+    seed: int = 42,
+) -> DataFrame:
+    """``gds.node2vec`` analog → (node_id, embedding array<double>).
+
+    Two phases, matching embeddings/node2vec/Node2Vec.java:32 (walks +
+    skip-gram-negative-sampling training):
+
+    1. WALKS — distributed, the :func:`random_walks` kernel (uniform
+       p=q=1 defaults; the scale-bearing phase: walk volume is
+       nodes × walks_per_node × walk_length).
+    2. SGNS TRAINING — the reference trains with multi-threaded
+       asynchronous SGD whose result is concurrency-dependent (its docs say
+       so); this engine's training is the documented DETERMINISTIC parity
+       mode: (center, context) pairs stream through ONE ``applyInPandas``
+       group in a fixed sort order, negatives drawn from the hash-u01
+       stream, single-threaded SGD — bit-reproducible at any parallelism,
+       same discipline as label_propagation's ``batch_sequential`` mode.
+       Valid while (pairs, n·d floats) fit one worker; for larger graphs
+       use :func:`fastrp` / :func:`hashgnn` (fully distributed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = graph.nodes.sparkSession
+    walks = random_walks(graph, walk_length=walk_length,
+                         walks_per_node=walks_per_node, seed=seed)
+    # (center, context) skip-gram pairs within the window — distributed
+    a = walks.select(F.col("walk_id"), F.col("step").alias("s1"),
+                     F.col("node_id").alias("center"))
+    b = walks.select(F.col("walk_id"), F.col("step").alias("s2"),
+                     F.col("node_id").alias("context"))
+    pairs = (a.join(b, "walk_id")
+             .where((F.col("s1") != F.col("s2"))
+                    & (F.abs(F.col("s1") - F.col("s2")) <= int(window_size)))
+             .select("walk_id", "s1", "s2", "center", "context"))
+    node_ids = [r[0] for r in graph.nodes.select("node_id")
+                .orderBy("node_id").collect()]
+    n, d = len(node_ids), int(embedding_dim)
+    id_pos = {v: i for i, v in enumerate(node_ids)}
+    ep, ns, lr0 = int(epochs), int(negative_samples), float(learning_rate)
+    sd = int(seed)
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        rows = pdf.sort_values(["walk_id", "s1", "s2"]).reset_index(drop=True)
+        # hash-seeded init, same very-sparse-free philosophy: uniform small
+        rng_init = np.array([
+            [int(hashlib.md5(f"{v}:{j}:{sd}".encode()).hexdigest()[:15], 16)
+             / float(1 << 60) - 0.5 for j in range(d)] for v in node_ids
+        ]) / d
+        w_in = rng_init.copy()
+        w_out = np.zeros((n, d))
+
+        def u01(*args):
+            s = ":".join(str(x) for x in args)
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) / float(1 << 60)
+
+        for e in range(ep):
+            lr = lr0 * (1.0 - e / max(1, ep))
+            for i, (wid, s1, s2, c, ctx) in enumerate(zip(
+                    rows["walk_id"], rows["s1"], rows["s2"],
+                    rows["center"], rows["context"])):
+                ci, oi = id_pos[int(c)], id_pos[int(ctx)]
+                targets = [(oi, 1.0)] + [
+                    (id_pos[node_ids[int(u01("neg", e, i, k, sd) * n)]], 0.0)
+                    for k in range(ns)]
+                g_acc = np.zeros(d)
+                for ti, label in targets:
+                    z = float(w_in[ci] @ w_out[ti])
+                    p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+                    g = lr * (label - p)
+                    g_acc += g * w_out[ti]
+                    w_out[ti] += g * w_in[ci]
+                w_in[ci] += g_acc
+        return pd.DataFrame({
+            "node_id": node_ids,
+            "embedding": [np.round(w_in[i], 6).tolist() for i in range(n)],
+        })
+
+    tagged = pairs.withColumn("_g", F.lit(0))
+    return tagged.groupBy("_g").applyInPandas(
+        train, schema="node_id long, embedding array<double>")
+
+
+def hashgnn(
+    graph: Graph,
+    feature_space: int = 64,
+    density: float = 0.1,
+    embedding_density: int = 8,
+    iterations: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """``gds.hashgnn`` analog → (node_id, slot, feature) binary embeddings.
+
+    HashGNN (embeddings/hashgnn/HashGNN.java; Tan et al. "Hashing-
+    Accelerated Graph Neural Networks") replaces a GNN's float aggregation
+    with min-hash sampling over binary features. Deterministic re-expression
+    (the reference's neighborInfluence-weighted self/neighbor hash choice is
+    collapsed to a single hash family — documented simplification):
+
+    - init: node v holds feature f ∈ [0, feature_space) iff
+      ``u01(v, f, seed) < density`` — the hash-seeded binary feature matrix.
+    - iteration t, slot s ∈ [0, embedding_density): the new feature of v in
+      slot s is ``argmin_{f ∈ F(v) ∪ ⋃_{u→v} F(u)} u01(t, s, f, seed)`` —
+      one min-hash sample of the 1-hop feature union per slot; the new
+      F(v) = the set of sampled features.
+
+    Everything is min-aggregation over hashes — pure Catalyst (explode +
+    partial-agg min per (node, slot)), fully SQL-oracle-checkable, and the
+    scale shape is one edges ⋈ features join per iteration with message
+    volume |E| · avg_features.
+    """
+    if int(iterations) < 1:
+        raise ValueError("hashgnn requires iterations >= 1")
+    spark = graph.nodes.sparkSession
+    scratch = _Scratch(spark)
+    try:
+        edges = scratch.truncate(graph.edges.select("src", "dst").distinct(), "edges")
+        feats = spark.range(int(feature_space)).select(
+            F.col("id").cast("long").alias("feature"))
+        init_u = _u01(F.col("node_id"), F.col("feature"), F.lit(int(seed)))
+        state = (graph.nodes.select("node_id").crossJoin(F.broadcast(feats))
+                 .where(init_u < float(density))
+                 .select("node_id", "feature").distinct())
+        state = scratch.truncate(state, "feat")
+        slots = spark.range(int(embedding_density)).select(
+            F.col("id").cast("long").alias("slot"))
+        for t in range(int(iterations)):
+            nbr = (edges.join(state.select(F.col("node_id").alias("src"),
+                                           "feature"), "src")
+                   .select(F.col("dst").alias("node_id"), "feature"))
+            pool = state.unionByName(nbr).distinct()
+            h = _u01(F.lit(t), F.col("slot"), F.col("feature"), F.lit(int(seed)))
+            sampled = (pool.crossJoin(F.broadcast(slots))
+                       .select("node_id", "slot", "feature", h.alias("_h"))
+                       .groupBy("node_id", "slot")
+                       .agg(F.min(F.struct(F.col("_h"), F.col("feature")))
+                            .alias("_b"))
+                       .select("node_id", "slot",
+                               F.col("_b.feature").alias("feature")))
+            sampled = scratch.truncate(sampled, "sampled")
+            state = scratch.truncate(
+                sampled.select("node_id", "feature").distinct(), "feat")
+            last = sampled
+        return last.localCheckpoint(eager=True)
+    finally:
+        scratch.cleanup()
+
+
 def random_walks(
     graph: Graph,
     walk_length: int = 5,

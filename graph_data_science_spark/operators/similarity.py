@@ -292,15 +292,18 @@ def knn(
     node_properties: list[str] | str,
     top_k: int = 10,
     similarity_cutoff: float = 0.0,
+    source_node_filter: str | None = None,
+    target_node_filter: str | None = None,
 ) -> DataFrame:
     """``gds.knn`` analog: k nearest neighbors by node-property similarity
     → (node1, node2, similarity).
 
     Scalar properties are assembled into a vector; an array property is used
-    as-is; similarity = cosine. Runs on the exact GEMM kernel
-    (:func:`cosine_topk`) — the reference's NN-Descent approximation is a
-    convergence optimization, not a semantic; its `.estimate`-documented
-    output contract (top-k above cutoff) is what we reproduce.
+    as-is; similarity = cosine. Runs on the exact TILED GEMM kernel
+    (:func:`cosine_topk` default strategy — executor-resident matrix blocks,
+    nothing on the driver) — the reference's NN-Descent approximation is a
+    convergence optimization, not a semantic; its output contract (top-k
+    above cutoff) is what we reproduce, exactly.
     """
     if isinstance(node_properties, str):
         node_properties = [node_properties]
@@ -314,7 +317,20 @@ def knn(
     else:
         vec = F.array(*[F.col(p).cast("double") for p in node_properties])
     vecs = nodes.select(F.col("node_id").alias("vec_id"), vec.alias("embedding"))
-    out = cosine_topk(vecs, k=top_k)
+    # filtered variant (gds.knn.filtered): sourceNodeFilter restricts the
+    # query side, targetNodeFilter restricts the candidate INDEX before
+    # ranking (top-k is taken among allowed targets, matching the reference)
+    index_df = vecs
+    queries_df = vecs
+    if target_node_filter is not None:
+        index_df = vecs.join(
+            nodes.where(F.expr(target_node_filter)).select(
+                F.col("node_id").alias("vec_id")), "vec_id", "left_semi")
+    if source_node_filter is not None:
+        queries_df = vecs.join(
+            nodes.where(F.expr(source_node_filter)).select(
+                F.col("node_id").alias("vec_id")), "vec_id", "left_semi")
+    out = cosine_topk(index_df, k=top_k, queries=queries_df)
     return out.select(
         F.col("vec_id").alias("node1"),
         F.col("neighbor_id").alias("node2"),

