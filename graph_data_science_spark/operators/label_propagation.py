@@ -34,6 +34,20 @@ The in-batch sweep is a per-node loop (Gauss-Seidel is inherently
 sequential) — this mode is for parity/validation; the sync mode is the
 10^12-edge path.
 
+Divergence bounds between the modes (why the gate checks
+``label_propagation_gds_order`` rows-only): sync and batch-sequential agree
+on any graph where LPA has a unique stable fixpoint reachable without
+oscillation (e.g. the layered link graph: both converge to per-hub
+communities); they may differ on (a) 2-cycles/bipartite-ish structures
+where strict-sync oscillates between two labelings while Gauss-Seidel
+settles on one (GDS's NonStabilizingLabelPropagationTest documents the same
+family), and (b) equal-weight ties encountered in a different interleaving
+— bounded by the tie rule (max weight, then smaller label), so any
+divergent assignment is still some valid LPA fixpoint, never an arbitrary
+label. Batch-sequential results additionally depend on ``batch_size`` (=
+GDS's concurrency-dependence), which is why no cross-engine value oracle is
+possible for this mode — GDS itself does not promise one.
+
 Spark plan per sync superstep: edges ⋈ labels on dst (the voting neighbor) →
 ``groupBy(src, label).sum(weight)`` (map-side partial agg = the combiner) →
 ``max(struct(weight, -label))`` per src — a second partial-aggregatable agg,
@@ -150,7 +164,7 @@ def _run_sync(graph, edges, state, max_iterations, checkpoint_dir, resume):
         spark,
         max_iterations=max_iterations,
         checkpoint_dir=checkpoint_dir,
-        extra_metrics={"distinct_labels": F.countDistinct("label")},
+        extra_metrics={"distinct_labels": F.approx_count_distinct("label")},
         manifest={"algorithm": "label_propagation", "mode": "sync"},
     )
     res = driver.run(state, step, resume=resume)

@@ -159,8 +159,12 @@ def _sub_round(adj: DataFrame, comm: DataFrame, k: DataFrame, m: float,
         (F.coalesce(F.col("_new"), F.col("comm")) != F.col("comm"))
         .cast("int").alias("_moved"),
     )
+    # move count rides the snapshot write (Observation) — one job/sub-round
+    from pyspark.sql import Observation
+    obs = Observation()
+    merged = merged.observe(obs, F.sum("_moved").alias("moves"))
     merged = scratch.truncate(merged, "comm")
-    moves = merged.agg(F.sum("_moved")).first()[0] or 0
+    moves = obs.get["moves"] or 0
     return merged.select("node_id", "comm"), int(moves)
 
 
@@ -251,8 +255,11 @@ def _refine_connectivity(adj: DataFrame, comm: DataFrame,
             (F.least(F.col("lab"), F.coalesce(F.col("_m"), F.col("lab")))
              < F.col("lab")).cast("int").alias("_ch"),
         )
+        from pyspark.sql import Observation
+        obs = Observation()
+        new = new.observe(obs, F.sum("_ch").alias("ch"))
         new = scratch.truncate(new, "lab")
-        changed = new.agg(F.sum("_ch")).first()[0] or 0
+        changed = obs.get["ch"] or 0
         lab = new.select("node_id", "lab")
         if changed == 0:
             break

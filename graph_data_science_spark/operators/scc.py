@@ -61,8 +61,11 @@ def _fixpoint_label(edges: DataFrame, nodes: DataFrame, agg, scratch: _Scratch,
             (comb(F.col("lab"), F.coalesce(F.col("_m"), F.col("lab")))
              != F.col("lab")).cast("int").alias("_ch"),
         )
+        from pyspark.sql import Observation
+        obs = Observation()
+        new = new.observe(obs, F.sum("_ch").alias("ch"))
         new = scratch.truncate(new, stream)
-        changed = new.agg(F.sum("_ch")).first()[0] or 0
+        changed = obs.get["ch"] or 0
         lab = new.select("node_id", "lab")
         if changed == 0:
             break

@@ -83,8 +83,11 @@ def spanning_forest(graph: Graph, max_rounds: int = 30) -> DataFrame:
                                         F.least(F.coalesce("_m", F.col("comp")),
                                                 F.coalesce("_pl", F.col("comp"))))
                                 < F.col("comp")).cast("int").alias("_ch")))
+                from pyspark.sql import Observation
+                obs = Observation()
+                new = new.observe(obs, F.sum("_ch").alias("ch"))
                 new = scratch.truncate(new, "comp")
-                ch = new.agg(F.sum("_ch")).first()[0] or 0
+                ch = obs.get["ch"] or 0
                 comp = new.select("node_id", "comp")
                 if ch == 0:
                     break

@@ -108,7 +108,9 @@ def wcc(
         spark,
         max_iterations=max_iterations,
         checkpoint_dir=checkpoint_dir,
-        extra_metrics={"distinct_components": F.countDistinct("component")},
+        # approx: the metric rides the snapshot-write job via Observation,
+        # which cannot host exact distinct aggregates
+        extra_metrics={"distinct_components": F.approx_count_distinct("component")},
         manifest={"algorithm": "wcc", "threshold": threshold,
                   "seed_property": seed_property},
     )

@@ -207,10 +207,21 @@ class Pregel:
         active = state.agg(F.sum(F.col(ACTIVE_COL).cast("long"))).first()[0] or 0
         converged = active == 0
 
+        from pyspark.sql import Observation
+
         superstep = start_step
         while not converged and superstep < self.max_iterations:
             t0 = time.monotonic()
             new_state = step_fn(state, superstep)
+            # fold the convergence/metrics aggregation INTO the snapshot
+            # write job (Observation API): one Spark job per superstep where
+            # round 1 ran two (write + separate agg)
+            obs = Observation(f"superstep_{superstep}")
+            aggs = [
+                F.sum(F.col(ACTIVE_COL).cast("long")).alias("active"),
+                F.count(F.lit(1)).alias("rows"),
+            ] + [expr.alias(name) for name, expr in self.extra_metrics.items()]
+            new_state = new_state.observe(obs, *aggs)
             do_snapshot = self.checkpoint_dir and (superstep + 1) % self.snapshot_interval == 0
             if do_snapshot:
                 # reliable, resumable plan truncation: parquet round-trip
@@ -221,11 +232,7 @@ class Pregel:
                 # round-trip, NOT localCheckpoint — chained localCheckpoints
                 # accumulate planning cost on this Spark version)
                 new_state = self._scratch_truncate(new_state, superstep)
-            aggs = [
-                F.sum(F.col(ACTIVE_COL).cast("long")).alias("active"),
-                F.count(F.lit(1)).alias("rows"),
-            ] + [expr.alias(name) for name, expr in self.extra_metrics.items()]
-            row = new_state.agg(*aggs).first().asDict()
+            row = dict(obs.get)
             wall_ms = (time.monotonic() - t0) * 1000.0
             active = row.pop("active") or 0
             rec = {
