@@ -27,7 +27,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from graph_data_science_spark.graph import Graph
 from graph_data_science_spark.operators.embeddings import _u01, fastrp
@@ -140,8 +140,15 @@ def link_prediction_pipeline(
                     F.lit(seed))), 1, 15), 16, 10).cast("long"),
                     F.lit(n_nodes))).alias("_idx"))
             )
-    idx = nodes.withColumn(
-        "_idx", F.row_number().over(Window.orderBy("node_id")) - 1)
+    # dense index without a single-task global window (sources/idmap.py:
+    # returns (node_id=dense id, <key_col>=original))
+    from graph_data_science_spark.sources.idmap import assign_dense_ids
+    # idmap keys are strings; the mapping only needs to be a bijection here
+    idx = assign_dense_ids(
+        nodes.select(F.col("node_id").cast("string").alias("_orig")),
+        key_col="_orig",
+    ).select(F.col("node_id").alias("_idx"),
+             F.col("_orig").cast("long").alias("node_id"))
     neg = (cand.join(idx, "_idx").select("src", F.col("node_id").alias("dst"))
            .where(F.col("src") != F.col("dst"))
            .join(pos, ["src", "dst"], "left_anti")

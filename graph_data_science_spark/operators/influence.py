@@ -24,7 +24,7 @@ degree heuristic the reference seeds its queue with.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from graph_data_science_spark.graph import Graph
 from graph_data_science_spark.operators.embeddings import _u01
@@ -48,9 +48,10 @@ def influence_maximization_celf(
     try:
         edges = graph.edges.select("src", "dst").distinct()
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        w = Window.orderBy(F.desc("deg"), F.asc("src"))
-        cands = (deg.withColumn("_r", F.row_number().over(w))
-                 .where(F.col("_r") <= int(candidate_pool))
+        # distributed top-k (TakeOrderedAndProject), not a global window —
+        # a single-partition window sort is the thing to avoid at scale
+        cands = (deg.orderBy(F.desc("deg"), F.asc("src"))
+                 .limit(int(candidate_pool))
                  .select(F.col("src").alias("cand")))
         cands = scratch.truncate(cands, "cands")
 
