@@ -76,6 +76,113 @@ def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFram
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    query_name: str = "events_sessions",
+    timeout: str = "none",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the CUSTOM STATEFUL operator
+    surface (``applyInPandasWithState`` / GroupState), the streaming twin of
+    :func:`sessionize`.
+
+    Per user, open-session state (start, last ts, count, value sum) lives in
+    the state store; an arriving batch's events (sorted by ts in-group)
+    extend the session or close it when the gap exceeds ``gap_minutes``.
+    Emitted rows match :func:`sessionize`'s schema minus the per-user
+    session index (a streaming operator cannot know final per-user
+    ordinals; callers derive them downstream if needed).
+
+    State bounding: in a CONTINUOUS deployment, pass
+    ``timeout="processing"`` so idle sessions flush via
+    ``GroupStateTimeout.ProcessingTimeTimeout`` (the per-key analog of the
+    watermark). The default is no timeout because under
+    ``trigger(availableNow)`` processing-time timeouts keep scheduling
+    empty microbatches and the drain never terminates (measured: 50+ empty
+    batches); for a bounded drain the open tails are simply withheld.
+
+    Caveats: events are assumed near-ordered within the watermark. With
+    ``availableNow`` over a static directory, sessions still OPEN at
+    end-of-input are not emitted (their state is discarded when the query
+    stops; in a continuous deployment the idle timeout flushes them) — the
+    same append-mode caveat :func:`stream_windowed_counts` documents, and
+    the batch :func:`sessionize` is the reconciliation truth.
+    """
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"stream_sessionize requires spark.sql.session.timeZone=UTC, got {tz!r}")
+    if os.path.isfile(events_dir):
+        staged = tempfile.mkdtemp(prefix="gds_stream_")
+        os.symlink(os.path.abspath(events_dir),
+                   os.path.join(staged, os.path.basename(events_dir)))
+        events_dir = staged
+
+    gap_us = int(gap_minutes) * 60_000_000
+    use_timeout = timeout == "processing"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        sessions = []
+        if state.hasTimedOut:
+            if state.exists:
+                st, en, n, val = state.get
+                sessions.append((user_id, n, st, en, round(val, 6)))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            if state.exists:
+                st, en, n, val = state.get
+            else:
+                st = en = None
+                n, val = 0, 0.0
+            for ts, v in zip(rows["ts"], rows["value"]):
+                t_us = int(ts.value // 1000)  # pandas ns → µs
+                if st is None:
+                    st, en, n, val = t_us, t_us, 1, float(v)
+                elif t_us - en > gap_us:
+                    sessions.append((user_id, n, st, en, round(val, 6)))
+                    st, en, n, val = t_us, t_us, 1, float(v)
+                else:
+                    en, n, val = t_us, n + 1, val + float(v)
+            if st is not None:
+                state.update((st, en, n, val))
+                if use_timeout:
+                    state.setTimeoutDuration(60_000)  # 60 s idle → flush
+        if sessions:
+            yield pd.DataFrame(sessions, columns=[
+                "user_id", "n_events", "t_start_us", "t_end_us", "total_value"])
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=("user_id long, n_events long, t_start_us long, "
+                              "t_end_us long, total_value double"),
+            stateStructType=("t_start_us long, t_end_us long, n_events long, "
+                             "total_value double"),
+            outputMode="append",
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if use_timeout else GroupStateTimeout.NoTimeout),
+        )
+    )
+    q = (stream.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     events_dir: str,

@@ -63,3 +63,25 @@ def test_stream_windowed_counts_matches_batch(spark, events):
         assert batch_rows[k] == v
     # all but the final (watermark-open) windows were emitted
     assert len(stream_rows) >= len(batch_rows) * 0.8
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, events):
+    from graph_data_science_spark.streaming.events import stream_sessionize
+
+    got = stream_sessionize(spark, f"{SF}/events.parquet", gap_minutes=30,
+                            query_name="t_stream_sess")
+    stream_rows = {(r["user_id"], r["t_start_us"]):
+                   (r["n_events"], r["t_end_us"], r["total_value"])
+                   for r in got.collect()}
+    assert stream_rows, "stateful streaming query emitted nothing"
+    batch = sessionize(events, gap_minutes=30)
+    batch_rows = {(r["user_id"], r["t_start_us"]):
+                  (r["n_events"], r["t_end_us"], r["total_value"])
+                  for r in batch.collect()}
+    # every emitted (closed) session must be a batch session, exactly
+    for k, v in stream_rows.items():
+        assert batch_rows[k] == v, (k, v, batch_rows.get(k))
+    # each user's final (open) session is withheld by append semantics;
+    # everything else must have been emitted
+    n_users = batch.select("user_id").distinct().count()
+    assert len(stream_rows) >= len(batch_rows) - n_users
