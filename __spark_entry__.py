@@ -412,6 +412,65 @@ def _fastrp_sql(dim: int = 8, seed: int = 42, n_iters: int = 3,
         f"ROUND({sel}, 6) AS value FROM {frm}")
 
 
+def _graphsage_sql(layer_dims=(3, 4, 4), sample_sizes=(3, 2),
+                   seed: int = 42) -> str:
+    """Unrolled GraphSAGE forward pass (operators/graphsage.graphsage_predict):
+    log1p-degree features, per-layer hash-rank neighbor sampling (same
+    ``u01(src, dst, layer, seed)`` ordering on both engines), mean
+    aggregation, inlined literal weights from
+    :func:`graphsage.init_weights` (hash-seeded in Python, so neither
+    engine hashes weights), relu + L2 normalize per layer, ROUND 6dp at the
+    end only (the cross-engine float contract)."""
+    from graph_data_science_spark.operators.graphsage import init_weights
+
+    weights = init_weights(list(layer_dims), seed=seed)
+    parts = [f"WITH {EDGES_SQL},",
+             "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),",
+             "od AS (SELECT src AS node_id, COUNT(*) AS o FROM de GROUP BY src),",
+             "idg AS (SELECT dst AS node_id, COUNT(*) AS i FROM de GROUP BY dst),",
+             f"""f0 AS MATERIALIZED (
+    SELECT n.node_id, d.dim,
+           CASE d.dim WHEN 0 THEN ln(1.0 + COALESCE(od.o, 0))
+                      WHEN 1 THEN ln(1.0 + COALESCE(idg.i, 0))
+                      ELSE 1.0 END AS value
+    FROM nodes n
+    LEFT JOIN od ON n.node_id = od.node_id
+    LEFT JOIN idg ON n.node_id = idg.node_id,
+    (SELECT unnest(range(0, {layer_dims[0]})) AS dim) d),"""]
+    for k, layer in enumerate(weights):
+        s = sample_sizes[k]
+        u = _u01_sql("src", "dst", str(k), str(seed))
+        parts.append(
+            f"sm{k} AS MATERIALIZED (SELECT src, dst FROM ("
+            f"SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY dst "
+            f"ORDER BY {u}, src) AS r FROM de) WHERE r <= {int(s)}),")
+        parts.append(
+            f"nm{k} AS MATERIALIZED (SELECT e.dst AS node_id, f.dim, "
+            f"AVG(f.value) AS nval FROM sm{k} e "
+            f"JOIN f{k} f ON e.src = f.node_id GROUP BY e.dst, f.dim),")
+        wrows = ", ".join(
+            f"({j}, {i}, {layer['w_self'][j][i]!r}, {layer['w_neigh'][j][i]!r})"
+            for j in range(len(layer["w_self"]))
+            for i in range(len(layer["w_self"][0])))
+        parts.append(f"w{k}(j, i, ws, wn) AS (VALUES {wrows}),")
+        parts.append(
+            f"pre{k} AS MATERIALIZED (SELECT f.node_id, w.j AS dim, "
+            f"GREATEST(SUM(f.value * w.ws + COALESCE(nm.nval, 0.0) * w.wn), 0.0) "
+            f"AS value FROM f{k} f "
+            f"LEFT JOIN nm{k} nm ON nm.node_id = f.node_id AND nm.dim = f.dim "
+            f"JOIN w{k} w ON w.i = f.dim GROUP BY f.node_id, w.j),")
+        parts.append(
+            f"nr{k} AS MATERIALIZED (SELECT node_id, SQRT(SUM(value * value)) "
+            f"AS nv FROM pre{k} GROUP BY node_id),")
+        parts.append(
+            f"f{k + 1} AS MATERIALIZED (SELECT p.node_id, p.dim, "
+            f"CASE WHEN n.nv > 0 THEN p.value / n.nv ELSE 0.0 END AS value "
+            f"FROM pre{k} p JOIN nr{k} n ON p.node_id = n.node_id),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + (f"SELECT node_id, dim, ROUND(value, 6) AS value "
+                   f"FROM f{len(weights)}")
+
+
 def _random_walks_sql(walk_length: int = 4, walks_per_node: int = 2,
                       seed: int = 42) -> str:
     """Unrolled seeded uniform walks (operators/embeddings.random_walks):
@@ -1139,6 +1198,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["maxkcut"] = lambda s, d: maxkcut(
         build_graph(s, d), k=3, max_iterations=8).assignment
     q["hashgnn"] = lambda s, d: hashgnn(build_graph(s, d))
+
+    def _graphsage_q(s, d):
+        from graph_data_science_spark.operators.graphsage import (
+            degree_features, graphsage_predict, init_weights)
+        g = build_graph(s, d)
+        return graphsage_predict(
+            g, degree_features(g), init_weights([3, 4, 4], seed=42),
+            sample_sizes=[3, 2], seed=42, long_format=True)
+
+    q["graphsage"] = _graphsage_q
     q["celf"] = lambda s, d: influence_maximization_celf(build_graph(s, d))
     q["bfs"] = lambda s, d: bfs(build_graph(s, d), source=1).distances
     q["sssp_weighted"] = lambda s, d: shortest_paths(
@@ -1308,6 +1377,7 @@ WHERE a.src <> b.dst"""
     o["k1coloring"] = _k1coloring_sql()
     o["maxkcut"] = _maxkcut_sql()
     o["hashgnn"] = _hashgnn_sql()
+    o["graphsage"] = _graphsage_sql()
     o["celf"] = _celf_sql()
     o["bfs"] = _bfs_sql(source=1)
     o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
