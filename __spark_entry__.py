@@ -497,6 +497,54 @@ def _random_walks_sql(walk_length: int = 4, walks_per_node: int = 2,
     return body + f"SELECT walk_id, step, node_id FROM ({unions})"
 
 
+def _random_walks_biased_sql(walk_length: int = 4, walks_per_node: int = 1,
+                             p: float = 2.0, q: float = 0.5,
+                             seed: int = 42) -> str:
+    """Unrolled second-order node2vec walks (operators/embeddings.
+    random_walks with p/q ≠ 1): step 1 is the uniform pick; later steps
+    weight candidate x from t→v→x by 1/p (x = t), 1 (edge t→x), 1/q
+    (else) and take the first candidate in dst order whose ORDER-DEFINED
+    running weight sum exceeds u01 · total — the same sequential window sum
+    on both engines."""
+    parts = [f"WITH {EDGES_SQL},",
+             "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),",
+             "nb AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+             "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM de),",
+             "dg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM de GROUP BY src),",
+             f"w0 AS MATERIALIZED (SELECT n.node_id * {walks_per_node} + r._r AS walk_id, "
+             f"CAST(NULL AS BIGINT) AS prev, n.node_id FROM nodes n, "
+             f"(SELECT unnest(range(0, {walks_per_node})) AS _r) r),"]
+    u1 = _u01_sql("c.walk_id", "1", str(seed))
+    parts.append(
+        f"w1 AS MATERIALIZED (SELECT c.walk_id, c.node_id AS prev, "
+        f"nb.dst AS node_id FROM w0 c "
+        f"JOIN dg ON c.node_id = dg.src "
+        f"JOIN nb ON nb.src = c.node_id "
+        f"AND nb.idx = CAST(FLOOR({u1} * dg.deg) AS BIGINT)),")
+    for s in range(2, walk_length):
+        u = _u01_sql("walk_id", str(s), str(seed))
+        parts.append(
+            f"c{s} AS MATERIALIZED (SELECT c.walk_id, c.prev, "
+            f"c.node_id AS cur, nb.dst AS cand, "
+            f"CASE WHEN nb.dst = c.prev THEN {1.0 / p!r} "
+            f"WHEN m.src IS NOT NULL THEN 1.0 ELSE {1.0 / q!r} END AS w "
+            f"FROM w{s-1} c JOIN de nb ON nb.src = c.node_id "
+            f"LEFT JOIN de m ON m.src = c.prev AND m.dst = nb.dst),")
+        parts.append(
+            f"w{s} AS MATERIALIZED (SELECT walk_id, cur AS prev, "
+            f"cand AS node_id FROM ("
+            f"SELECT walk_id, cur, cand, w, "
+            f"SUM(w) OVER (PARTITION BY walk_id ORDER BY cand "
+            f"ROWS UNBOUNDED PRECEDING) AS cum, "
+            f"{u} * SUM(w) OVER (PARTITION BY walk_id) AS thr "
+            f"FROM c{s}) WHERE cum > thr AND cum - w <= thr),")
+    unions = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node_id FROM w{s}"
+        for s in range(walk_length))
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT walk_id, step, node_id FROM ({unions})"
+
+
 def _kmeans_sql(k: int = 4, iters: int = 5) -> str:
     """Unrolled deterministic Lloyd (operators/clustering.kmeans): seeds =
     k lowest-id vectors; distances and centroid means ROUND(·,6) every
@@ -1183,6 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_graph(s, d), embedding_dim=8, seed=42, long_format=True)
     q["random_walks"] = lambda s, d: random_walks(
         build_graph(s, d), walk_length=4, walks_per_node=2, seed=42)
+    q["random_walks_biased"] = lambda s, d: random_walks(
+        build_graph(s, d), walk_length=4, walks_per_node=1, seed=42,
+        p=2.0, q=0.5)
     q["kmeans"] = lambda s, d: kmeans(
         s.read.parquet(f"{d}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
@@ -1373,6 +1424,7 @@ WHERE a.src <> b.dst"""
     o["scc"] = _scc_sql()
     o["fastrp"] = _fastrp_sql()
     o["random_walks"] = _random_walks_sql()
+    o["random_walks_biased"] = _random_walks_biased_sql()
     o["kmeans"] = _kmeans_sql()
     o["k1coloring"] = _k1coloring_sql()
     o["maxkcut"] = _maxkcut_sql()

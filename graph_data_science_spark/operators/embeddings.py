@@ -5,10 +5,10 @@ Reference analogs (algo/src/main/java/org/neo4j/gds/):
   projection init (Achlioptas/Li: ±√3 w.p. 1/6 each, else 0), then L
   iterations of neighbor averaging with per-iteration L2 normalization,
   final embedding = Σ iterationWeights[i] · e_i (+ nodeSelfInfluence · e_0).
-- ``gds.randomWalk`` — traversal/RandomWalk.java:49: seeded walks, uniform
-  next-hop when p = q = 1 (the default); the biased second-order (p, q)
-  cases raise NotImplementedError here — the uniform kernel is the
-  deterministic core and the node2vec input producer.
+- ``gds.randomWalk`` — traversal/RandomWalk.java:49: seeded walks; uniform
+  next-hop when p = q = 1 (the default), full second-order node2vec
+  (returnFactor 1/p, inOutFactor 1/q) weighted sampling otherwise — see
+  :func:`random_walks`.
 
 Determinism/portability: ALL randomness is a pure hash of
 (entity, position, seed) — md5-based so the DuckDB oracle derives the SAME
@@ -286,16 +286,25 @@ def random_walks(
     q: float = 1.0,
     start_nodes: list[int] | None = None,
 ) -> DataFrame:
-    """``gds.randomWalk`` analog (uniform / p=q=1) → (walk_id, step, node_id).
+    """``gds.randomWalk`` analog → (walk_id, step, node_id).
 
     walk_id = node_id * walks_per_node + walk index. A walk ends early at a
-    node with no out-neighbors (no further rows). Next hop = the
+    node with no out-neighbors (no further rows).
+
+    Uniform kernel (p = q = 1, the GDS defaults): next hop = the
     ``floor(u01(walk_id, step, seed) · out_deg)``-th out-neighbor in
-    (dst ascending) order — pure hash, reproducible anywhere."""
-    if p != 1.0 or q != 1.0:
-        raise NotImplementedError(
-            "biased node2vec walks (p/q != 1) are not implemented; the uniform "
-            "kernel (GDS defaults) is — see module docstring")
+    (dst ascending) order — pure hash, reproducible anywhere.
+
+    Biased second-order kernel (p ≠ 1 or q ≠ 1, node2vec Grover-Leskovec
+    α-weights, traversal/RandomWalk.java:49 ``returnFactor``/``inOutFactor``):
+    candidate x from t→v→x gets weight 1/p if x = t, 1 if edge t→x exists,
+    else 1/q; the hop is the first candidate (dst ascending) whose running
+    weight sum exceeds ``u01(walk_id, step, seed) · total_weight``. The
+    running sum is an ORDER-DEFINED sequential window sum, so the DuckDB
+    oracle reproduces it bit-for-bit; per step this is one neighbor join,
+    one (prev, cand) edge-membership left join, and one per-walk window —
+    walks are independent keys, so the window shuffle partitions cleanly.
+    """
     from pyspark.sql import Window
 
     spark = graph.nodes.sparkSession
@@ -318,18 +327,65 @@ def random_walks(
         )
         cur = scratch.truncate(cur, "cur")
         out = cur
+        biased = not (p == 1.0 and q == 1.0)
+        if not biased:
+            for step in range(1, int(walk_length)):
+                pick = F.floor(_u01(F.col("walk_id"), F.lit(step),
+                                    F.lit(int(seed))) * F.col("deg")).cast("long")
+                nxt = (cur.join(nbrs, cur.node_id == nbrs.src, "inner")
+                       .where(F.col("idx") == pick)
+                       .select("walk_id", F.lit(step).cast("long").alias("step"),
+                               F.col("dst").alias("node_id")))
+                nxt = scratch.truncate(nxt, "cur")
+                if nxt.isEmpty():
+                    break
+                out = scratch.truncate(out.unionByName(nxt), "out")
+                cur = nxt
+            return out.localCheckpoint(eager=True)
+
+        # second-order (p, q) kernel — state carries the previous hop
+        mark = edges.select(F.col("src").alias("_mt"), F.col("dst").alias("_mx"),
+                            F.lit(True).alias("_isnbr"))
+        cur2 = None  # (walk_id, prev, node_id)
         for step in range(1, int(walk_length)):
-            pick = F.floor(_u01(F.col("walk_id"), F.lit(step), F.lit(int(seed)))
-                           * F.col("deg")).cast("long")
-            nxt = (cur.join(nbrs, cur.node_id == nbrs.src, "inner")
-                   .where(F.col("idx") == pick)
-                   .select("walk_id", F.lit(step).cast("long").alias("step"),
-                           F.col("dst").alias("node_id")))
-            nxt = scratch.truncate(nxt, "cur")
+            if step == 1:
+                pick = F.floor(_u01(F.col("walk_id"), F.lit(step),
+                                    F.lit(int(seed))) * F.col("deg")).cast("long")
+                nxt = (cur.join(nbrs, cur.node_id == nbrs.src, "inner")
+                       .where(F.col("idx") == pick)
+                       .select("walk_id", F.col("node_id").alias("prev"),
+                               F.col("dst").alias("node_id")))
+            else:
+                cand = (cur2.join(nbrs.select(F.col("src"),
+                                              F.col("dst").alias("cand")),
+                                  cur2.node_id == F.col("src"), "inner")
+                        .select("walk_id", "prev",
+                                F.col("node_id").alias("cur"), "cand"))
+                cand = cand.join(
+                    mark, (cand.prev == mark._mt) & (cand.cand == mark._mx),
+                    "left").drop("_mt", "_mx")
+                wgt = (F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+                       .when(F.col("_isnbr").isNotNull(), F.lit(1.0))
+                       .otherwise(F.lit(1.0 / q)))
+                run = Window.partitionBy("walk_id").orderBy("cand") \
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                allw = Window.partitionBy("walk_id")
+                thr = _u01(F.col("walk_id"), F.lit(step), F.lit(int(seed))) \
+                    * F.sum("_w").over(allw)
+                nxt = (cand.withColumn("_w", wgt)
+                       .withColumn("_cum", F.sum("_w").over(run))
+                       .withColumn("_thr", thr)
+                       .where((F.col("_cum") > F.col("_thr"))
+                              & (F.col("_cum") - F.col("_w") <= F.col("_thr")))
+                       .select("walk_id", F.col("cur").alias("prev"),
+                               F.col("cand").alias("node_id")))
+            nxt = scratch.truncate(nxt, "cur2")
             if nxt.isEmpty():
                 break
-            out = scratch.truncate(out.unionByName(nxt), "out")
-            cur = nxt
+            out = scratch.truncate(out.unionByName(
+                nxt.select("walk_id", F.lit(step).cast("long").alias("step"),
+                           "node_id")), "out")
+            cur2 = nxt
         return out.localCheckpoint(eager=True)
     finally:
         scratch.cleanup()

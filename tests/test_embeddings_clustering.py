@@ -69,8 +69,54 @@ def test_random_walks_shape_and_determinism(spark):
             assert s2 == s1 + 1 and (n1, n2) in edge_set
     # walks from node 3 (sink) stop immediately
     assert by_walk[3] == [(0, 3)]
-    with pytest.raises(NotImplementedError):
-        random_walks(g, p=0.5)
+
+
+def test_biased_walks_valid_and_deterministic(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1), (1, 0), (0, 2)]
+    g = graph_from_edges(spark, edges_from_tuples(spark, edges))
+    a = sorted((r["walk_id"], r["step"], r["node_id"])
+               for r in random_walks(g, walk_length=5, seed=9,
+                                     p=4.0, q=0.25).collect())
+    b = sorted((r["walk_id"], r["step"], r["node_id"])
+               for r in random_walks(g, walk_length=5, seed=9,
+                                     p=4.0, q=0.25).collect())
+    assert a == b
+    by_walk = {}
+    for wid, step, node in a:
+        by_walk.setdefault(wid, []).append((step, node))
+    for wid, seq in by_walk.items():
+        seq.sort()
+        for (s1, n1), (s2, n2) in zip(seq, seq[1:]):
+            assert s2 == s1 + 1 and (n1, n2) in set(edges)
+
+
+def test_biased_walks_return_factor_shifts_distribution(spark):
+    # star-with-return: center 0 ↔ leaves 1..6; from a leaf the only move
+    # is back to 0, from 0 the candidates are all leaves incl. the previous
+    # one. With p huge (return discouraged) the walk revisits its previous
+    # leaf less often than with p tiny (return forced).
+    edges = [(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)]
+    g = graph_from_edges(spark, edges_from_tuples(spark, edges))
+
+    def return_rate(p):
+        rows = random_walks(g, walk_length=4, walks_per_node=8, seed=11,
+                            p=p, q=1.0).collect()
+        by_walk = {}
+        for r in rows:
+            by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node_id"]
+        rev = tot = 0
+        for seq in by_walk.values():
+            for s in range(2, 4):
+                # only decisions made AT the center count — a walker at a
+                # leaf has exactly one move (back to 0), which is a forced
+                # return regardless of p
+                if s in seq and s - 2 in seq and seq[s - 1] == 0:
+                    tot += 1
+                    rev += seq[s] == seq[s - 2]
+        return rev / tot
+
+    assert return_rate(0.01) > 0.9   # forced returns
+    assert return_rate(100.0) < 0.5  # discouraged returns
 
 
 def test_kmeans_separates_two_blobs(spark):
