@@ -7,9 +7,11 @@ Reference analogs:
   from non-edges; train/test split).
 - ``gds.beta.pipeline.nodeClassification`` — pipeline/.../node/
   classification/NodeClassificationTrainingPipeline.java.
-- classifier: ml/ml-core/.../LogisticRegressionTrainer.java — this engine
-  implements logistic regression only (the reference's random forest / MLP
-  are NOT implemented — documented gap).
+- classifiers: ml/ml-core/.../LogisticRegressionTrainer.java (this module),
+  randomforest/RandomForestClassifierTrainer.java (ml/forest.py —
+  distributed-histogram trees) and mlp/MLPClassifierTrainer.java
+  (ml/mlp.py — partition-partial full-batch GD); select via
+  ``node_classification_pipeline(classifier=...)``.
 
 Spark-first training: FULL-BATCH deterministic gradient descent where each
 iteration is ONE distributed aggregation — per-example gradient
@@ -188,8 +190,12 @@ def node_classification_pipeline(
     iterations: int = 20,
     holdout: float = 0.25,
     seed: int = 42,
+    classifier: str = "logistic_regression",
 ) -> NodeClassificationResult:
-    """fastRP features → one-vs-rest logistic regression per label class."""
+    """fastRP features → classifier. ``classifier`` selects the model family
+    the reference's pipelines offer: ``logistic_regression`` (one-vs-rest,
+    this module), ``random_forest`` (ml/forest.py distributed-histogram
+    trees), or ``mlp`` (ml/mlp.py one-hidden-layer softmax)."""
     emb = fastrp(graph, embedding_dim=embedding_dim, seed=seed) \
         .localCheckpoint(eager=True)
     data = labels.join(emb, "node_id").select(
@@ -200,6 +206,28 @@ def node_classification_pipeline(
     ).localCheckpoint(eager=True)
     train = data.where(~F.col("_test"))
     test = data.where(F.col("_test"))
+    if classifier in ("random_forest", "mlp"):
+        ex = train.select(F.col("node_id").alias("id"), "x",
+                          F.col("label").cast("int").alias("y"))
+        te = test.select(F.col("node_id").alias("id"), "x",
+                         F.col("label").alias("y"))
+        if classifier == "random_forest":
+            from graph_data_science_spark.ml.forest import (
+                random_forest_fit, random_forest_predict)
+            model = random_forest_fit(ex, seed=seed)
+            preds = random_forest_predict(te, model)
+        else:
+            from graph_data_science_spark.ml.mlp import mlp_fit, mlp_predict
+            model = mlp_fit(ex, iterations=iterations, seed=seed)
+            preds = mlp_predict(te, model)
+        preds = preds.select(F.col("id").alias("node_id"), "y",
+                             F.col("predicted").cast("long").alias("predicted"))
+        acc = preds.select(
+            F.avg((F.col("predicted") == F.col("y")).cast("double")).alias("a")
+        ).first()["a"]
+        return NodeClassificationResult({0: model}, preds, float(acc or 0.0))
+    if classifier != "logistic_regression":
+        raise ValueError(f"unknown classifier: {classifier}")
     classes = sorted(r[0] for r in train.select("label").distinct().collect())
     models: dict[int, LogRegModel] = {}
     scored = test.select("node_id", "label", "x")
