@@ -30,10 +30,17 @@ def main() -> None:
     path = sys.argv[1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "6"))
+    # partition count is a property of the DATA layout, not the cluster
+    # size: a real N → 4N executor scale-up keeps the same partitioning and
+    # spreads it over more slots. Fixing it across parallelism levels is
+    # therefore the faithful cluster proxy (and measured: partitions=cpus
+    # at low core counts under-decomposes the shuffle and understates the
+    # low-end, inflating apparent efficiency loss — BENCH/BASELINE.md).
+    parts = int(os.environ.get("SPARK_GRAFT_PARTS", str(max(cpus, 32))))
 
     spark = get_spark(app_name=f"gds-scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
-    edges = spark.read.parquet(path).repartition(cpus, "src").persist()
+                      shuffle_partitions=parts)
+    edges = spark.read.parquet(path).repartition(parts, "src").persist()
     n_edges = edges.count()
     nodes = (
         edges.select(F.col("src").alias("node_id"))
@@ -43,7 +50,8 @@ def main() -> None:
     n_nodes = nodes.count()
     g = graph_from_edges(spark, edges, nodes)
 
-    out: dict = {"cpus": cpus, "n_nodes": n_nodes, "n_edges": n_edges}
+    out: dict = {"cpus": cpus, "parts": parts, "n_nodes": n_nodes,
+                 "n_edges": n_edges}
 
     t0 = time.monotonic()
     pr = pagerank(g, tolerance=0.0, max_iterations=pr_iters)

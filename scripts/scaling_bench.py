@@ -38,8 +38,12 @@ def _run(cmd: list[str], env: dict | None = None) -> str:
     return out.stdout
 
 
-def run_scale_job(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+def run_scale_job(cpus: int, parts: int = 32) -> dict:
+    # fixed partition count at BOTH parallelism levels — the data layout is
+    # a property of the dataset, not the cluster size; a real N → 4N
+    # executor scale-up spreads the SAME partitioning over more slots
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_PARTS=str(parts))
     out = _run([sys.executable, os.path.join(REPO, "scripts", "scale_job.py"), INPUT], env)
     return json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
 
