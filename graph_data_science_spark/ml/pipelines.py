@@ -103,6 +103,89 @@ def _hadamard(a: str, b: str):
 
 
 @dataclass
+class LinRegModel:
+    weights: list[float]  # [bias, w_1..w_d]
+    history: list[float]  # mean squared error per iteration
+
+
+def linreg_fit(examples: DataFrame, dim: int, iterations: int = 30,
+               learning_rate: float = 0.1, l2: float = 0.0) -> LinRegModel:
+    """Linear regression on (x: array<double>[dim], y: double) — the node
+    REGRESSION trainer (reference:
+    ml/ml-core/.../linearregression/LinearRegressionTrainer.java). Same
+    distributed shape as logreg_fit: full-batch deterministic GD, one
+    partial-aggregated shuffle per iteration, d+1 doubles to the driver."""
+    ex = examples.select("x", F.col("y").cast("double").alias("y"))
+    ex = ex.localCheckpoint(eager=True)
+    n = ex.count()
+    if n == 0:
+        raise ValueError("no training examples")
+    w = [0.0] * (dim + 1)
+    history = []
+    for _ in range(int(iterations)):
+        err = (_dot(w) - F.col("y")).alias("_e")
+        graded = ex.select(
+            err,
+            F.transform(F.col("x"), lambda xi: xi * (_dot(w) - F.col("y"))).alias("_g"),
+            ((_dot(w) - F.col("y")) * (_dot(w) - F.col("y"))).alias("_l"),
+        )
+        row = (graded
+               .select("_e", "_l", F.posexplode("_g").alias("_i", "_gi"))
+               .groupBy("_i")
+               .agg(F.sum("_gi").alias("g"), F.sum("_e").alias("ge"),
+                    F.sum("_l").alias("loss"))
+               .collect())
+        by_i = {int(r["_i"]): r for r in row}
+        mse = float(by_i[0]["loss"]) / n
+        grad = [2.0 * float(by_i[0]["ge"]) / n] + [
+            2.0 * float(by_i[i]["g"]) / n for i in range(dim)]
+        lr = float(learning_rate)
+        w = [wi - lr * (gi + float(l2) * wi) for wi, gi in zip(w, grad)]
+        history.append(round(mse, 6))
+    return LinRegModel(w, history)
+
+
+@dataclass
+class NodeRegressionResult:
+    model: "LinRegModel"
+    test_predictions: DataFrame  # (node_id, y, predicted)
+    test_rmse: float
+
+
+def node_regression_pipeline(
+    graph: Graph,
+    targets: DataFrame,  # (node_id, target: double)
+    embedding_dim: int = 16,
+    iterations: int = 30,
+    learning_rate: float = 0.1,
+    holdout: float = 0.25,
+    seed: int = 42,
+) -> NodeRegressionResult:
+    """``gds.alpha.pipeline.nodeRegression`` analog: fastRP features →
+    linear regression (pipeline/.../noderegression/
+    NodeRegressionTrainingPipeline.java)."""
+    emb = fastrp(graph, embedding_dim=embedding_dim, seed=seed) \
+        .localCheckpoint(eager=True)
+    data = targets.join(emb, "node_id").select(
+        "node_id", F.col("target").cast("double").alias("y"),
+        F.col("embedding").alias("x"))
+    data = data.withColumn(
+        "_test", _u01(F.col("node_id"), F.lit(seed + 3)) < float(holdout)
+    ).localCheckpoint(eager=True)
+    train = data.where(~F.col("_test"))
+    test = data.where(F.col("_test"))
+    model = linreg_fit(train.select("x", "y"), embedding_dim, iterations,
+                       learning_rate)
+    preds = test.select("node_id", "y",
+                        F.round(_dot(model.weights), 6).alias("predicted"))
+    rmse_row = preds.select(F.sqrt(F.avg(
+        (F.col("predicted") - F.col("y"))
+        * (F.col("predicted") - F.col("y")))).alias("rmse")).first()
+    return NodeRegressionResult(model, preds,
+                                float(rmse_row["rmse"] or 0.0))
+
+
+@dataclass
 class LinkPredictionResult:
     model: LogRegModel
     test_predictions: DataFrame  # (src, dst, y, probability)

@@ -43,10 +43,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        # G1 on a large growing heap stalled iterative jobs 10-20s per
-        # superstep (measured: 100s vs 13s for the same 6-superstep PageRank);
-        # throughput-oriented ParallelGC is flat and fast for shuffle loops
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # GC choice is measured per-shape (docs/SCALE_NOTES.md §3, §9):
+        # round-1 measured G1 stalling supersteps 10-20 s vs ParallelGC;
+        # round-2 re-measured after the Observation fold and found ParallelGC
+        # full-GCs wandering 14→42 s on identical supersteps — override via
+        # SPARK_GRAFT_GC while measuring on the target host
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

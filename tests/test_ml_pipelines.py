@@ -65,3 +65,35 @@ def test_node_classification_pipeline(spark):
     assert set(res.models) == {0, 1}
     rows = res.test_predictions.collect()
     assert rows and all(r["predicted"] in (0, 1) for r in rows)
+
+
+def test_linreg_fits_exact_linear_target(spark):
+    from graph_data_science_spark.ml.pipelines import linreg_fit
+    # y = 2·x0 − 3·x1 + 0.5 exactly — GD should drive MSE near 0
+    rows = [([i / 10.0, (i % 5) / 5.0],
+             2.0 * (i / 10.0) - 3.0 * ((i % 5) / 5.0) + 0.5)
+            for i in range(30)]
+    ex = spark.createDataFrame(rows, "x array<double>, y double")
+    # lr must stay under 2/λ_max of the 2/n·XᵀX Hessian (~0.25 here);
+    # 0.1 converges to MSE ≈ 2.4e-3 in 200 iterations (numpy-verified)
+    m = linreg_fit(ex, dim=2, iterations=200, learning_rate=0.1)
+    assert m.history[-1] < 0.01
+    assert m.history[-1] < m.history[0]
+    m2 = linreg_fit(ex, dim=2, iterations=200, learning_rate=0.1)
+    assert m.weights == m2.weights  # deterministic
+
+
+def test_node_regression_pipeline(spark):
+    from graph_data_science_spark.ml.pipelines import node_regression_pipeline
+    g = _two_cluster_graph(spark)
+    nodes = [r["node_id"] for r in g.nodes.collect()]
+    # target correlated with cluster membership
+    targets = spark.createDataFrame(
+        [(v, 10.0 if v >= 20 else -10.0) for v in nodes],
+        "node_id long, target double")
+    res = node_regression_pipeline(g, targets, embedding_dim=8,
+                                   iterations=60, learning_rate=0.2,
+                                   holdout=0.3, seed=4)
+    assert res.test_predictions.count() > 0
+    assert res.model.history[-1] < res.model.history[0]
+    assert res.test_rmse < 10.0  # better than predicting the mean of ±10
