@@ -38,12 +38,24 @@ def _run(cmd: list[str], env: dict | None = None) -> str:
     return out.stdout
 
 
+# measured on this host (docs/SCALE_NOTES.md §9): a growing 48 g heap makes
+# ParallelGC expand instead of collect, and first-touch page faults run at
+# ~320 MB/s here, so growth-era GC pauses hit 14.8 s and supersteps wander
+# 14→42 s on identical work. A fixed pre-touched right-sized heap (~2× the
+# observed 11 g committed peak) flattens supersteps (GC total 48 s → 1.8 s,
+# max pause 0.39 s) at a one-time ~75 s startup cost paid outside the
+# per-algorithm timers.
+SCALE_GC = "-XX:+UseParallelGC -Xms24g -XX:+AlwaysPreTouch"
+
+
 def run_scale_job(cpus: int, parts: int = 32) -> dict:
     # fixed partition count at BOTH parallelism levels — the data layout is
     # a property of the dataset, not the cluster size; a real N → 4N
     # executor scale-up spreads the SAME partitioning over more slots
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_PARTS=str(parts))
+    env.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    env.setdefault("SPARK_GRAFT_GC", SCALE_GC)
     out = _run([sys.executable, os.path.join(REPO, "scripts", "scale_job.py"), INPUT], env)
     return json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
 
