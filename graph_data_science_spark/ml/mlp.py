@@ -13,9 +13,12 @@ distributed-GD contract as pipelines.logreg_fit, with the Python side
 vectorized because backprop through the hidden layer isn't expressible as a
 flat Catalyst array expression.
 
-Determinism: input is hash-repartitioned by id and each partition is sorted
-by id before accumulation; the driver sums partials in partition-id order —
-one fixed floating-point summation tree at any parallelism. Weight init is
+Determinism: input is hash-repartitioned by id; each partition concatenates
+ALL of its Arrow batches and sorts the whole partition by id once (a
+partition larger than arrow.maxRecordsPerBatch arrives as several batches
+whose order depends on shuffle fetch order — per-batch sorting is not
+enough); the driver sums partials in partition-id order — one fixed
+floating-point summation tree at any parallelism. Weight init is
 hash-seeded (same u01 discipline as the rest of the engine).
 """
 
@@ -81,15 +84,16 @@ def mlp_fit(
         def partial(batches):
             from pyspark import TaskContext
             import pandas as pd
-            xs, ys = [], []
-            for pdf in batches:
-                pdf = pdf.sort_values("id")
-                xs.append(np.stack(pdf["x"].to_numpy()))
-                ys.append(pdf["y"].to_numpy())
-            if not xs:
+            # determinism: a partition may arrive as MULTIPLE Arrow batches
+            # whose composition/order depends on shuffle fetch order —
+            # accumulate them all, then sort the WHOLE partition by id once,
+            # so the float summation tree is fixed at any parallelism
+            parts = [pdf for pdf in batches if len(pdf)]
+            if not parts:
                 return
-            X = np.vstack(xs)
-            y = np.concatenate(ys).astype(int)
+            whole = pd.concat(parts, ignore_index=True).sort_values("id")
+            X = np.stack(whole["x"].to_numpy())
+            y = whole["y"].to_numpy().astype(int)
             Xb, H, Hb, Pr = _forward(X, b1, b2)
             Y = np.zeros_like(Pr)
             Y[np.arange(len(y)), y] = 1.0

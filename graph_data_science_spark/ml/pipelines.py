@@ -65,20 +65,26 @@ def logreg_fit(examples: DataFrame, dim: int, iterations: int = 20,
         z = _dot(w)
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.greatest(F.lit(-30.0),
                                                          F.least(F.lit(30.0), z))))
-        err = (p - F.col("y")).alias("_e")
-        graded = ex.select(
-            err,
-            F.transform(F.col("x"), lambda xi: xi * (p - F.col("y"))).alias("_g"),
+        # materialize err/loss ONCE per row (a prior select), then build the
+        # per-component gradient from the named column — w·x is evaluated a
+        # single time per example instead of once per output expression
+        pre = ex.select(
+            "x", (p - F.col("y")).alias("_e"),
             (-(F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
                + (1 - F.col("y")) * F.log(F.greatest(1 - p, F.lit(1e-12))))).alias("_l"),
         )
-        # one shuffle: per-component partial sums; every component group also
-        # carries Σerr (bias gradient) and Σloss — read them off group 0
+        graded = pre.select(
+            "_e", "_l",
+            F.transform(F.col("x"), lambda xi: xi * F.col("_e")).alias("_g"))
+        # one shuffle: per-component partial sums; Σerr (bias gradient) and
+        # Σloss ride ONLY the _i=0 group (conditional sum — the other dim-1
+        # groups partial-aggregate nulls instead of shuffling full copies)
         row = (graded
                .select("_e", "_l", F.posexplode("_g").alias("_i", "_gi"))
                .groupBy("_i")
-               .agg(F.sum("_gi").alias("g"), F.sum("_e").alias("ge"),
-                    F.sum("_l").alias("loss"))
+               .agg(F.sum("_gi").alias("g"),
+                    F.sum(F.when(F.col("_i") == 0, F.col("_e"))).alias("ge"),
+                    F.sum(F.when(F.col("_i") == 0, F.col("_l"))).alias("loss"))
                .collect())
         by_i = {int(r["_i"]): r for r in row}
         loss = float(by_i[0]["loss"]) / n
@@ -123,17 +129,19 @@ def linreg_fit(examples: DataFrame, dim: int, iterations: int = 30,
     w = [0.0] * (dim + 1)
     history = []
     for _ in range(int(iterations)):
-        err = (_dot(w) - F.col("y")).alias("_e")
-        graded = ex.select(
-            err,
-            F.transform(F.col("x"), lambda xi: xi * (_dot(w) - F.col("y"))).alias("_g"),
-            ((_dot(w) - F.col("y")) * (_dot(w) - F.col("y"))).alias("_l"),
-        )
+        # err computed ONCE per row in a prior select (w·x was previously
+        # re-evaluated three times per row), and Σerr/Σloss aggregated only
+        # for the _i=0 group instead of shuffling dim identical copies
+        pre = ex.select("x", (_dot(w) - F.col("y")).alias("_e"))
+        graded = pre.select(
+            "_e", (F.col("_e") * F.col("_e")).alias("_l"),
+            F.transform(F.col("x"), lambda xi: xi * F.col("_e")).alias("_g"))
         row = (graded
                .select("_e", "_l", F.posexplode("_g").alias("_i", "_gi"))
                .groupBy("_i")
-               .agg(F.sum("_gi").alias("g"), F.sum("_e").alias("ge"),
-                    F.sum("_l").alias("loss"))
+               .agg(F.sum("_gi").alias("g"),
+                    F.sum(F.when(F.col("_i") == 0, F.col("_e"))).alias("ge"),
+                    F.sum(F.when(F.col("_i") == 0, F.col("_l"))).alias("loss"))
                .collect())
         by_i = {int(r["_i"]): r for r in row}
         mse = float(by_i[0]["loss"]) / n
@@ -181,8 +189,10 @@ def node_regression_pipeline(
     rmse_row = preds.select(F.sqrt(F.avg(
         (F.col("predicted") - F.col("y"))
         * (F.col("predicted") - F.col("y")))).alias("rmse")).first()
-    return NodeRegressionResult(model, preds,
-                                float(rmse_row["rmse"] or 0.0))
+    # an empty holdout must not report a perfect score — surface NaN
+    return NodeRegressionResult(
+        model, preds,
+        float("nan") if rmse_row["rmse"] is None else float(rmse_row["rmse"]))
 
 
 @dataclass
@@ -256,7 +266,10 @@ def link_prediction_pipeline(
     acc_row = preds.select(
         F.avg(((F.col("probability") >= 0.5).cast("double") == F.col("y"))
               .cast("double")).alias("acc")).first()
-    return LinkPredictionResult(model, preds, float(acc_row["acc"] or 0.0))
+    # empty holdout → NaN, never a silent 0.0/1.0
+    return LinkPredictionResult(
+        model, preds,
+        float("nan") if acc_row["acc"] is None else float(acc_row["acc"]))
 
 
 @dataclass
@@ -274,11 +287,18 @@ def node_classification_pipeline(
     holdout: float = 0.25,
     seed: int = 42,
     classifier: str = "logistic_regression",
+    classifier_params: dict | None = None,
 ) -> NodeClassificationResult:
     """fastRP features → classifier. ``classifier`` selects the model family
     the reference's pipelines offer: ``logistic_regression`` (one-vs-rest,
     this module), ``random_forest`` (ml/forest.py distributed-histogram
-    trees), or ``mlp`` (ml/mlp.py one-hidden-layer softmax)."""
+    trees), or ``mlp`` (ml/mlp.py one-hidden-layer softmax).
+    ``classifier_params`` are forwarded to the underlying trainer (e.g.
+    ``{"n_trees": 16, "max_depth": 6}`` for random_forest, ``{"hidden": 16,
+    "learning_rate": 0.2}`` for mlp, ``{"learning_rate": 0.3, "l2": 1e-4}``
+    for logistic_regression) — the pipeline's tuning surface, mirroring the
+    reference's trainerConfig (pipeline/.../TunableTrainerConfig.java)."""
+    params = dict(classifier_params or {})
     emb = fastrp(graph, embedding_dim=embedding_dim, seed=seed) \
         .localCheckpoint(eager=True)
     data = labels.join(emb, "node_id").select(
@@ -297,18 +317,21 @@ def node_classification_pipeline(
         if classifier == "random_forest":
             from graph_data_science_spark.ml.forest import (
                 random_forest_fit, random_forest_predict)
-            model = random_forest_fit(ex, seed=seed)
+            model = random_forest_fit(ex, seed=seed, **params)
             preds = random_forest_predict(te, model)
         else:
             from graph_data_science_spark.ml.mlp import mlp_fit, mlp_predict
-            model = mlp_fit(ex, iterations=iterations, seed=seed)
+            params.setdefault("iterations", iterations)
+            model = mlp_fit(ex, seed=seed, **params)
             preds = mlp_predict(te, model)
         preds = preds.select(F.col("id").alias("node_id"), "y",
                              F.col("predicted").cast("long").alias("predicted"))
         acc = preds.select(
             F.avg((F.col("predicted") == F.col("y")).cast("double")).alias("a")
         ).first()["a"]
-        return NodeClassificationResult({0: model}, preds, float(acc or 0.0))
+        return NodeClassificationResult(
+            {0: model}, preds,
+            float("nan") if acc is None else float(acc))
     if classifier != "logistic_regression":
         raise ValueError(f"unknown classifier: {classifier}")
     classes = sorted(r[0] for r in train.select("label").distinct().collect())
@@ -317,7 +340,7 @@ def node_classification_pipeline(
     for c in classes:
         m = logreg_fit(
             train.select("x", (F.col("label") == int(c)).cast("double").alias("y")),
-            embedding_dim, iterations)
+            embedding_dim, iterations, **params)
         models[int(c)] = m
         scored = predict_proba(scored, m, out=f"_p{c}")
     best = None
@@ -330,4 +353,5 @@ def node_classification_pipeline(
     acc = preds.select(
         F.avg((F.col("predicted") == F.col("y")).cast("double")).alias("a")
     ).first()["a"]
-    return NodeClassificationResult(models, preds, float(acc or 0.0))
+    return NodeClassificationResult(
+        models, preds, float("nan") if acc is None else float(acc))

@@ -208,19 +208,32 @@ def graphsage_train(
     pos = {v: i for i, v in enumerate(node_ids)}
     e_rows = (graph.edges.select("src", "dst").distinct()
               .orderBy("src", "dst").collect())
-    E = [(pos[int(r["src"])], pos[int(r["dst"])]) for r in e_rows
-         if int(r["src"]) in pos and int(r["dst"]) in pos]
+    pairs = [(pos[int(r["src"])], pos[int(r["dst"])]) for r in e_rows
+             if int(r["src"]) in pos and int(r["dst"]) in pos]
     n = len(node_ids)
     if layer_dims[0] != X.shape[1]:
         raise ValueError("layer_dims[0] must equal the feature width")
+    # sparse adjacency as edge-index arrays: O(E) memory, never an n×n
+    # matrix (a 100k-node graph would need 80 GB dense). The neighbor-mean
+    # operator A and its transpose are applied as vectorized gather +
+    # np.add.at scatter over these arrays.
+    e_src = np.array([s for s, _ in pairs], dtype=np.int64)
+    e_dst = np.array([d for _, d in pairs], dtype=np.int64)
+    m_edges = len(pairs)
+    indeg = np.bincount(e_dst, minlength=n).astype(np.float64)[:, None]
+    indeg_safe = np.where(indeg == 0, 1.0, indeg)
 
-    # row-normalized in-neighbor mean operator A (dense loop-free form:
-    # accumulate per-dst sums, divide by in-degree)
-    A = np.zeros((n, n))
-    for s, d in E:
-        A[d, s] += 1.0
-    indeg = A.sum(axis=1, keepdims=True)
-    A = np.divide(A, np.where(indeg == 0, 1.0, indeg))
+    def neigh_mean(h):
+        """A @ h: per-dst mean of in-neighbor rows (gather + scatter-add)."""
+        acc = np.zeros_like(h)
+        np.add.at(acc, e_dst, h[e_src])
+        return acc / indeg_safe
+
+    def neigh_mean_t(m):
+        """A.T @ m: scatter m[d]/indeg[d] back to each in-neighbor s."""
+        out = np.zeros_like(m)
+        np.add.at(out, e_src, m[e_dst] / indeg_safe[e_dst])
+        return out
 
     init = init_weights(layer_dims, seed=seed)
     Ws = [np.array(l["w_self"]) for l in init]
@@ -232,7 +245,7 @@ def graphsage_train(
         h = X
         cache = []
         for k in range(L):
-            hn = A @ h
+            hn = neigh_mean(h)
             pre = h @ Ws[k].T + hn @ Wn[k].T
             act = np.maximum(pre, 0.0)
             nrm = np.linalg.norm(act, axis=1, keepdims=True)
@@ -253,34 +266,38 @@ def graphsage_train(
             dpre = dact * (pre > 0)
             gWs[k] = dpre.T @ h
             gWn[k] = dpre.T @ hn
-            dh = dpre @ Ws[k] + A.T @ (dpre @ Wn[k])
+            dh = dpre @ Ws[k] + neigh_mean_t(dpre @ Wn[k])
             dZ = dh
         return gWs, gWn
 
     # fixed hash-drawn negative set — the objective is then a single
     # deterministic full-batch function, so GD descends it (and the loss
     # history below is comparable across epochs)
-    negs = [[int(_py_u01("gsneg", idx, t, seed) * n) for t in range(ns)]
-            for idx in range(len(E))]
+    negs = np.array(
+        [[int(_py_u01("gsneg", idx, t, seed) * n) for t in range(ns)]
+         for idx in range(m_edges)], dtype=np.int64).reshape(m_edges, ns)
 
     def loss_and_grad(Z):
+        """Vectorized unsupervised SAGE loss over all edges at once —
+        O(E·d) gathers + deterministic np.add.at scatters (index order is
+        fixed by the sorted edge list), no per-edge Python."""
         dZ = np.zeros_like(Z)
-        tot = 0.0
-        for idx, (u, v) in enumerate(E):
-            zu, zv = Z[u], Z[v]
-            zp = float(np.clip(zu @ zv, -30, 30))
-            p = 1.0 / (1.0 + math.exp(-zp))
-            tot += -math.log(max(p, 1e-12))
-            g = p - 1.0  # positive pair
-            dZ[u] += g * zv
-            dZ[v] += g * zu
-            for w in negs[idx]:
-                zng = float(np.clip(zu @ Z[w], -30, 30))
-                pneg = 1.0 / (1.0 + math.exp(-zng))
-                tot += -math.log(max(1.0 - pneg, 1e-12))
-                dZ[u] += pneg * Z[w]
-                dZ[w] += pneg * zu
-        m = max(1, len(E))
+        zu, zv = Z[e_src], Z[e_dst]
+        zp = np.clip((zu * zv).sum(axis=1), -30, 30)
+        p = 1.0 / (1.0 + np.exp(-zp))
+        tot = float(-np.log(np.clip(p, 1e-12, None)).sum())
+        g = (p - 1.0)[:, None]  # positive pairs
+        np.add.at(dZ, e_src, g * zv)
+        np.add.at(dZ, e_dst, g * zu)
+        for t in range(ns):
+            w = negs[:, t]
+            zw = Z[w]
+            zng = np.clip((zu * zw).sum(axis=1), -30, 30)
+            pneg = (1.0 / (1.0 + np.exp(-zng)))[:, None]
+            tot += float(-np.log(np.clip(1.0 - pneg, 1e-12, None)).sum())
+            np.add.at(dZ, e_src, pneg * zw)
+            np.add.at(dZ, w, pneg * zu)
+        m = max(1, m_edges)
         return tot / m, dZ / m
 
     history = []

@@ -11,18 +11,20 @@ Spark-specific disciplines the reference doesn't need (SURVEY §4):
 1. **Lineage control.** An iterative DataFrame loop grows the logical plan
    every step, and Catalyst re-analysis cost explodes super-linearly in plan
    depth (measured locally: a 3-join superstep chained 6 deep takes 32s to
-   *plan*). Persisting alone does NOT truncate the logical plan. Worse,
-   ``localCheckpoint`` (round 1's truncation) is not a clean cut either on
-   this Spark version: chained localCheckpoints accumulate hidden planning
-   state round over round (measured: identical flat 93-char analyzed plans
-   whose optimization time grows 0.4 → 1.0 → 5.7 → 21 s across four
-   supersteps of a 4-join step; a parquet round-trip of the same loop is
-   flat at ~0.5 s/step, 10× total). So the driver now ALWAYS truncates via
-   a parquet snapshot: into ``checkpoint_dir`` when configured (resumable),
-   else into a session temp dir keeping only the last two supersteps
-   (alternating slots). On a cluster, point ``checkpoint_dir`` at shared
-   storage; the write is O(state), the same bound any reliable checkpoint
-   pays.
+   *plan*). Persisting alone does NOT truncate the logical plan. Round 1
+   truncated with ``localCheckpoint``; round 2 measured chained
+   localCheckpoints degrading 0.5 → 7.4 s/superstep and switched every loop
+   to a parquet-snapshot round-trip. Round 3 root-caused the localCheckpoint
+   degradation: each eager checkpoint leaves its MEMORY_AND_DISK RDD
+   persisted FOREVER (nothing unpersists it), so a 20-superstep loop pins 20
+   copies of the vertex state — the "hidden planning state" was storage/GC
+   pressure, not Catalyst. ``truncation="memory"`` (the default) therefore
+   localCheckpoints each superstep AND unpersists the previous superstep's
+   checkpoint RDD once the new state is materialized: flat plans, no disk
+   I/O, at most two superstep states resident (the same bound as the
+   two-slot parquet scratch, in RAM instead of disk; MEMORY_AND_DISK spills
+   under pressure, so the bound is cluster-safe). ``truncation="parquet"``
+   keeps the round-2 scratch-dir behavior for comparison/debugging.
 
 2. **Checkpoint / resume** (north-rule requirement; the reference has no
    mid-run checkpointing — nearest analog is its progress/task system,
@@ -32,6 +34,13 @@ Spark-specific disciplines the reference doesn't need (SURVEY §4):
    metrics record — superstep, wall_ms, active count, rows, partition count,
    per-partition row counts (the lineage record), plus algorithm-supplied
    aggregates like delta_max — is appended to ``{dir}/metrics.jsonl``.
+   Round 3: the snapshot write is ASYNCHRONOUS — the state is materialized
+   in memory first (the critical path), then a background thread writes the
+   parquet snapshot while the next superstep computes. The previous
+   superstep's in-memory state is unpersisted only after its writer thread
+   completes (the write reads from it), and at most one writer is in flight.
+   Durability is unchanged: resume still reads the latest _SUCCESS-marked
+   snapshot; a crash mid-write just resumes one snapshot earlier.
    :func:`Pregel.resume_state` finds the latest complete snapshot so a killed
    run restarts mid-iteration with identical results.
 
@@ -55,6 +64,34 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 ACTIVE_COL = "_active"
 
 
+class _SnapshotWriter:
+    """Background parquet snapshot of a materialized (in-memory) state.
+
+    Runs the write off the superstep critical path; the caller joins it
+    before unpersisting the state it reads. Exceptions surface at join."""
+
+    def __init__(self, df: DataFrame, path: str):
+        self._df = df
+        self._path = path
+        self._exc: BaseException | None = None
+        import threading
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        try:
+            self._df.write.mode("overwrite").parquet(self._path)
+        except BaseException as e:  # pragma: no cover - surfaced at join
+            self._exc = e
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def join(self) -> None:
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+
+
 @dataclass
 class PregelResult:
     state: DataFrame
@@ -73,6 +110,7 @@ class Pregel:
         extra_metrics: dict[str, Column] | None = None,
         track_partition_rows: bool | None = None,
         manifest: dict | None = None,
+        truncation: str | None = None,
     ):
         self.spark = spark
         self.max_iterations = max_iterations
@@ -83,7 +121,17 @@ class Pregel:
         #: resume validates it so a dir from a different algorithm/config is
         #: rejected instead of silently resuming incompatible state
         self.manifest = manifest or {}
+        # "memory" (default): localCheckpoint + unpersist-previous — no disk
+        # I/O on the critical path. "parquet": round-2 scratch-dir round-trip
+        # (kept for A/B measurement; SPARK_GRAFT_TRUNCATION overrides).
+        if truncation is None:
+            truncation = os.environ.get("SPARK_GRAFT_TRUNCATION", "memory")
+        if truncation not in ("memory", "parquet"):
+            raise ValueError(f"unknown truncation {truncation!r}")
+        self.truncation = truncation
         self._tmp_dir: str | None = None
+        self._prev_ckpt_rdd = None  # JVM RDD handle of the previous superstep
+        self._writer = None  # in-flight async snapshot writer thread
         # per-partition lineage rows cost one extra tiny job per snapshot;
         # default on only when checkpointing is on
         self.track_partition_rows = (
@@ -93,13 +141,44 @@ class Pregel:
     def _scratch_truncate(self, df: DataFrame, superstep: int) -> DataFrame:
         """Plan truncation via parquet round-trip into a temp scratch dir,
         alternating two slots so only the last two supersteps occupy disk.
-        See module doc #1 for why this replaces localCheckpoint."""
+        (truncation="parquet" path; see module doc #1.)"""
         import tempfile
         if self._tmp_dir is None:
             self._tmp_dir = tempfile.mkdtemp(prefix="gds_pregel_")
         path = os.path.join(self._tmp_dir, f"slot{superstep % 2}")
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
+
+    def _mem_truncate(self, df: DataFrame) -> DataFrame:
+        """Plan truncation via eager localCheckpoint: materializes the state
+        (running any attached Observation), yields a flat LogicalRDD plan with
+        zero disk I/O. The PREVIOUS superstep's checkpoint RDD is unpersisted
+        by :meth:`_retire_prev` once the new state (and any snapshot write
+        reading from the old one) is done — without that unpersist, chained
+        localCheckpoints pin every superstep's state in storage memory (the
+        measured round-2 0.5→7.4 s/superstep degradation; module doc #1)."""
+        new_df = df.localCheckpoint(eager=True)
+        analyzed = new_df._jdf.queryExecution().analyzed()
+        try:
+            rdd = analyzed.rdd()  # LogicalRDD's underlying checkpointed RDD
+        except Exception:  # pragma: no cover - plan shape changed
+            rdd = None
+        return new_df, rdd
+
+    def _retire_prev(self, new_rdd) -> None:
+        """Unpersist the previous superstep's checkpoint RDD and remember the
+        new one. Called only when nothing references the old state anymore."""
+        if self._prev_ckpt_rdd is not None:
+            try:
+                self._prev_ckpt_rdd.unpersist(False)
+            except Exception:  # pragma: no cover
+                pass
+        self._prev_ckpt_rdd = new_rdd
+
+    def _join_writer(self) -> None:
+        if self._writer is not None:
+            self._writer.join()
+            self._writer = None
 
     def _cleanup_scratch(self) -> None:
         if self._tmp_dir is not None:
@@ -203,7 +282,11 @@ class Pregel:
                 state, start_step = resumed
                 self._prune_above(start_step - 1)
         # truncate the incoming plan too — step 0 should start from a flat scan
-        state = self._scratch_truncate(state, -1)
+        if self.truncation == "memory":
+            state, rdd0 = self._mem_truncate(state)
+            self._retire_prev(rdd0)
+        else:
+            state = self._scratch_truncate(state, -1)
         active = state.agg(F.sum(F.col(ACTIVE_COL).cast("long"))).first()[0] or 0
         converged = active == 0
 
@@ -213,9 +296,9 @@ class Pregel:
         while not converged and superstep < self.max_iterations:
             t0 = time.monotonic()
             new_state = step_fn(state, superstep)
-            # fold the convergence/metrics aggregation INTO the snapshot
-            # write job (Observation API): one Spark job per superstep where
-            # round 1 ran two (write + separate agg)
+            # fold the convergence/metrics aggregation INTO the materializing
+            # job (Observation API): one Spark job per superstep where
+            # round 1 ran two (materialize + separate agg)
             obs = Observation(f"superstep_{superstep}")
             aggs = [
                 F.sum(F.col(ACTIVE_COL).cast("long")).alias("active"),
@@ -223,17 +306,28 @@ class Pregel:
             ] + [expr.alias(name) for name, expr in self.extra_metrics.items()]
             new_state = new_state.observe(obs, *aggs)
             do_snapshot = self.checkpoint_dir and (superstep + 1) % self.snapshot_interval == 0
-            if do_snapshot:
-                # reliable, resumable plan truncation: parquet round-trip
+            new_rdd = None
+            if self.truncation == "memory":
+                # critical path: in-memory materialization only; any snapshot
+                # write overlaps the NEXT superstep (module doc #2)
+                new_state, new_rdd = self._mem_truncate(new_state)
+            elif do_snapshot:
+                # sync parquet snapshot (truncation="parquet" legacy path)
                 new_state.write.mode("overwrite").parquet(self._state_path(superstep))
                 new_state = self.spark.read.parquet(self._state_path(superstep))
             else:
-                # plan-truncating materialization (module doc #1: parquet
-                # round-trip, NOT localCheckpoint — chained localCheckpoints
-                # accumulate planning cost on this Spark version)
                 new_state = self._scratch_truncate(new_state, superstep)
             row = dict(obs.get)
             wall_ms = (time.monotonic() - t0) * 1000.0
+            if self.truncation == "memory":
+                # the in-flight writer (if any) reads the PREVIOUS state —
+                # wait for it before unpersisting that state
+                self._join_writer()
+                self._retire_prev(new_rdd)
+                if do_snapshot:
+                    self._writer = _SnapshotWriter(
+                        new_state, self._state_path(superstep))
+                    self._writer.start()
             active = row.pop("active") or 0
             rec = {
                 "superstep": superstep,
@@ -261,10 +355,12 @@ class Pregel:
             metrics.append(rec)
             superstep += 1
 
+        # drain the in-flight snapshot writer (memory mode) before returning
+        self._join_writer()
         if self._tmp_dir is not None:
             # detach the returned state from the scratch dir (one terminal
-            # localCheckpoint is fine — the pathology is CHAINED ones), then
-            # reclaim the per-superstep snapshots
+            # localCheckpoint is fine — the pathology is CHAINED never-
+            # unpersisted ones), then reclaim the per-superstep snapshots
             state = state.localCheckpoint(eager=True)
             self._cleanup_scratch()
         return PregelResult(

@@ -36,7 +36,9 @@ def main() -> None:
     # therefore the faithful cluster proxy (and measured: partitions=cpus
     # at low core counts under-decomposes the shuffle and understates the
     # low-end, inflating apparent efficiency loss — BENCH/BASELINE.md).
-    parts = int(os.environ.get("SPARK_GRAFT_PARTS", str(max(cpus, 32))))
+    # constant default (NOT a function of cpus): direct runs and
+    # scaling_bench runs must measure the same data layout
+    parts = int(os.environ.get("SPARK_GRAFT_PARTS", "32"))
 
     spark = get_spark(app_name=f"gds-scale-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=parts)
