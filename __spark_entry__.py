@@ -236,6 +236,49 @@ def _dijkstra_sql(source: int, iters: int = 6, walk: int = 6) -> str:
         f"ROUND(total_cost, 6) AS total_cost, path FROM w{walk}")
 
 
+def _astar_sql(source: int, iters: int = 6, walk: int = 6) -> str:
+    """A* oracle = the dijkstra unroll restricted to the deterministic
+    target (smallest reachable nation node). Valid because A* with an
+    admissible heuristic returns exactly the dijkstra path — the heuristic
+    changes exploration volume, not the result (paths/astar/AStar.java
+    wraps Dijkstra.sourceTarget)."""
+    base = _dijkstra_sql(source, iters, walk)
+    head, _, tail = base.rpartition("SELECT ")
+    return head + (
+        f"SELECT source_node, target_node, total_cost, path FROM (\n{'SELECT ' + tail}\n) "
+        f"WHERE target_node = (SELECT MIN(target_node) FROM w{walk} "
+        f"WHERE target_node >= 2000000)")
+
+
+def _dag_longest_path_sql(iters: int = 6) -> str:
+    """Unrolled max-relaxation with argmax predecessor (ties → smaller pred),
+    mirroring operators/paths.dag_longest_path. Float equality selecting the
+    argmax is engine-portable: candidates are single adds over identical
+    inputs (same discipline as _dijkstra_sql)."""
+    parts = [f"WITH {EDGES_SQL},",
+             "d0 AS MATERIALIZED (SELECT node_id, 0.0 AS dist, "
+             "node_id AS pred FROM nodes),"]
+    for k in range(1, iters + 1):
+        p = f"d{k-1}"
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT e.dst AS node_id, "
+            f"MAX(s.dist + e.weight) AS best "
+            f"FROM edges e JOIN {p} s ON e.src = s.node_id GROUP BY e.dst),")
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT e.dst AS node_id, MIN(e.src) AS pred "
+            f"FROM edges e JOIN {p} s ON e.src = s.node_id "
+            f"JOIN r{k} r ON e.dst = r.node_id AND s.dist + e.weight = r.best "
+            f"GROUP BY e.dst),")
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT d.node_id, "
+            f"CASE WHEN r.best > d.dist THEN r.best ELSE d.dist END AS dist, "
+            f"CASE WHEN r.best > d.dist THEN p.pred ELSE d.pred END AS pred "
+            f"FROM {p} d LEFT JOIN r{k} r ON d.node_id = r.node_id "
+            f"LEFT JOIN p{k} p ON d.node_id = p.node_id),")
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + (f"SELECT node_id, ROUND(dist, 6) AS dist, pred FROM d{iters}")
+
+
 def _dag_levels_sql(iters: int = 6) -> str:
     parts = [f"WITH {EDGES_SQL},",
              "v0 AS MATERIALIZED (SELECT node_id, CAST(0 AS BIGINT) AS level FROM nodes),"]
@@ -545,18 +588,21 @@ def _random_walks_biased_sql(walk_length: int = 4, walks_per_node: int = 1,
     return body + f"SELECT walk_id, step, node_id FROM ({unions})"
 
 
-def _kmeans_sql(k: int = 4, iters: int = 5) -> str:
+def _kmeans_sql(k: int = 4, iters: int = 5, seed: int = 42) -> str:
     """Unrolled deterministic Lloyd (operators/clustering.kmeans): seeds =
-    k lowest-id vectors; distances and centroid means ROUND(·,6) every
-    iteration (the cross-engine float contract); argmin ties → smaller
-    cluster id."""
+    the k vectors with smallest u01(id, 'kmseed', seed) — the hash-sample
+    init (sorted-data-robust, reference-RNG stand-in); distances and
+    centroid means ROUND(·,6) every iteration (the cross-engine float
+    contract); argmin ties → smaller cluster id."""
+    useed = _u01_sql("id", "'kmseed'", str(int(seed)))
     parts = ["""WITH p AS MATERIALIZED (
     SELECT vec_id AS id, CAST(t.i - 1 AS BIGINT) AS dim,
            CAST(embedding[t.i] AS DOUBLE) AS val
     FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),""",
              f"""seeds AS MATERIALIZED (
-    SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster
-    FROM (SELECT DISTINCT vec_id AS id FROM embeddings ORDER BY id LIMIT {k})),""",
+    SELECT id, ROW_NUMBER() OVER (ORDER BY {useed}, id) - 1 AS cluster
+    FROM (SELECT DISTINCT vec_id AS id FROM embeddings
+          ORDER BY {useed}, id LIMIT {k})),""",
              "c0 AS MATERIALIZED (SELECT s.cluster, p.dim, ROUND(p.val, 6) AS cval "
              "FROM p JOIN seeds s ON p.id = s.id),"]
     for t in range(1, iters + 1):
@@ -1210,6 +1256,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graph_data_science_spark.operators.centrality import (
         all_shortest_paths, betweenness, closeness, harmonic)
 
+    def _astar_q(s, d):
+        from graph_data_science_spark.operators.paths import astar as astar_op
+        from graph_data_science_spark.operators.paths import bfs as _bfs
+        g = build_graph(s, d)
+        # same deterministic target rule as the oracle: the smallest
+        # reachable nation node (ids ≥ 2,000,000)
+        target = _bfs(g, 1).distances.where(
+            (F.col("node_id") >= 2000000) & (F.col("distance") < float("inf"))
+        ).agg(F.min("node_id")).first()[0]
+        r = astar_op(g, source=1, target=int(target), weighted=True)
+        return r.paths.select(
+            "source_node", "target_node",
+            F.round("total_cost", 6).alias("total_cost"), "path")
+
+    q["astar"] = _astar_q
+
+    def _dag_lp_q(s, d):
+        from graph_data_science_spark.operators.paths import dag_longest_path
+        return dag_longest_path(build_graph(s, d), weighted=True).select(
+            "node_id", F.round("dist", 6).alias("dist"), "pred")
+
+    q["dag_longest_path"] = _dag_lp_q
+
     q["betweenness"] = lambda s, d: betweenness(build_graph(s, d))
     q["closeness"] = lambda s, d: closeness(build_graph(s, d))
     q["closeness_wf"] = lambda s, d: closeness(
@@ -1330,6 +1399,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_graph(s, d).to_undirected("MIN"), start_node=1)
     q["sample_cnarw"] = lambda s, d: sample_cnarw(
         build_graph(s, d), start_nodes=[1, 2, 3], rounds=3)
+    # nn-descent is approximate by contract (reference Knn.java:51) —
+    # rows-only gate; recall vs the exact kernel is pytest-asserted
+    from graph_data_science_spark.operators.similarity import knn_nn_descent
+    q["knn_embeddings"] = lambda s, d: knn_nn_descent(
+        s.read.parquet(f"{d}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        k=3, max_iterations=6, seed=42)
     from graph_data_science_spark.operators.similarity import cosine_topk_ivf
     q["embedding_cosine_topk_ivf"] = lambda s, d: cosine_topk_ivf(
         s.read.parquet(f"{d}/embeddings.parquet")
@@ -1338,7 +1414,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["label_propagation_gds_order"] = lambda s, d: label_propagation(
         build_graph(s, d), mode="batch_sequential").labels
 
-    return q
+    return _gate_order(q)
+
+
+# Driver-gate rotation: the correctness gate runs the FIRST 50 entries in
+# insertion order, so with >50 entries some are never driver-gated. Policy:
+# (1) entries whose kernel changed this round, and entries the previous
+# round's gate missed, are pinned FIRST (this round: the five that sat at
+# positions 51-55 in round 2 — including embedding_cosine_topk, whose tiled
+# kernel r2 rewrote — plus the round-3 additions); (2) the tail (ungated
+# this round) is drawn from entries that were driver-gated green in the
+# previous round with unchanged code — all of which tests/test_entry_oracle
+# still oracles at every pytest run.
+_GATE_FIRST = [
+    # missed by the round-2 gate cap (positions 51-55)
+    "minhash_signatures", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "simhash", "embedding_cosine_topk",
+    # new or kernel-changed in round 3
+    "astar", "dag_longest_path", "knn_embeddings",
+]
+_GATE_LAST = [
+    # driver-gated green in round 2 (CORRECTNESS_r02), code unchanged
+    "dag_levels", "k_core_3", "coreness", "scale_minmax",
+    "events_sessionize", "events_windowed_counts",
+    "token_count", "token_count_bpe", "quality_score", "language_id",
+    "fingerprint", "exact_duplicates",
+]
+
+
+def _gate_order(q: dict) -> dict:
+    first = [k for k in _GATE_FIRST if k in q]
+    last = [k for k in _GATE_LAST if k in q]
+    mid = [k for k in q if k not in set(first) | set(last)]
+    return {k: q[k] for k in first + mid + last}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1434,6 +1542,8 @@ WHERE a.src <> b.dst"""
     o["bfs"] = _bfs_sql(source=1)
     o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
     o["dag_levels"] = _dag_levels_sql()
+    o["astar"] = _astar_sql(source=1)
+    o["dag_longest_path"] = _dag_longest_path_sql()
     o["k_core_3"] = _kcore_sql(3)
     o["coreness"] = _coreness_sql()
 

@@ -46,8 +46,19 @@ def kmeans(
     max_iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 42,
+    init: str = "sample",
 ) -> KmeansResult:
-    """Deterministic Lloyd k-means → (id, cluster), cluster ∈ 0..k-1."""
+    """Deterministic Lloyd k-means → (id, cluster), cluster ∈ 0..k-1.
+
+    ``init="sample"`` (default): centroid seeds are the k vectors with the
+    smallest hash-u01(id, seed) — a deterministic uniform sample of the id
+    space (the reproducible stand-in for the reference's seeded RNG init,
+    kmeans/Kmeans.java:40), immune to the sorted-data pathology of
+    first-k-by-id. ``init="first"`` keeps the legacy lowest-id seeding.
+    Both are portable to the SQL oracle (md5-based u01)."""
+    from graph_data_science_spark.operators.embeddings import _u01
+
     spark = vecs.sparkSession
     scratch = _Scratch(spark)
     try:
@@ -56,8 +67,14 @@ def kmeans(
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"))
         pts = scratch.truncate(pts, "pts")
 
-        w = Window.orderBy("id")
-        seeds = (vecs.select(F.col(id_col).alias("id")).orderBy("id").limit(int(k))
+        if init == "sample":
+            order = [_u01(F.col("id"), F.lit("kmseed"), F.lit(int(seed))), F.col("id")]
+        elif init == "first":
+            order = [F.col("id")]
+        else:
+            raise ValueError(f"unknown init {init!r}")
+        w = Window.orderBy(*order)
+        seeds = (vecs.select(F.col(id_col).alias("id")).orderBy(*order).limit(int(k))
                  .withColumn("cluster", F.row_number().over(w) - 1))
         cents = pts.join(seeds, "id").select(
             "cluster", "dim", F.round("val", 6).alias("cval"))

@@ -129,6 +129,8 @@ def node2vec(
     epochs: int = 1,
     learning_rate: float = 0.025,
     seed: int = 42,
+    mode: str = "distributed",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``gds.node2vec`` analog → (node_id, embedding array<double>).
 
@@ -140,18 +142,37 @@ def node2vec(
        nodes × walks_per_node × walk_length).
     2. SGNS TRAINING — the reference trains with multi-threaded
        asynchronous SGD whose result is concurrency-dependent (its docs say
-       so); this engine's training is the documented DETERMINISTIC parity
-       mode: (center, context) pairs stream through ONE ``applyInPandas``
-       group in a fixed sort order, negatives drawn from the hash-u01
-       stream, single-threaded SGD — bit-reproducible at any parallelism,
-       same discipline as label_propagation's ``batch_sequential`` mode.
-       Valid while (pairs, n·d floats) fit one worker; for larger graphs
-       use :func:`fastrp` / :func:`hashgnn` (fully distributed).
+       so). Two deterministic modes here:
+
+       ``mode="distributed"`` (default): synchronous full-batch gradient
+       descent with partition-summed partials — the ml/mlp.py discipline.
+       Per epoch: broadcast (w_in, w_out); every PAIR partition accumulates
+       all its Arrow batches, sorts by (walk_id, s1, s2), computes the SGNS
+       gradient VECTORIZED over all its pairs (negatives from a vectorized
+       splitmix64 hash stream — per-pair-key-seeded, partition-layout
+       independent) and emits per-node partial gradients tagged with its
+       partition id; the driver sums partials in partition-id order — one
+       fixed float summation tree at ANY parallelism — and applies the
+       update. The PAIRS (the big side: n × walks × length × window rows)
+       stay distributed; the model (2·n·d floats) is broadcast, the same
+       state-fits-in-memory bound as mode="csr" PageRank. Full-batch GD
+       descends a fixed objective, so the loss history is monotone-ish and
+       testable.
+
+       ``mode="parity"``: the round-2 single-group sequential-SGD mode —
+       (center, context) pairs stream through ONE ``applyInPandas`` group
+       in a fixed sort order, matching the reference's sequential
+       trajectory shape. Valid while pairs fit one worker.
+
+       For graphs where even n·d floats don't fit the driver, use
+       :func:`fastrp` / :func:`hashgnn` (fully distributed models).
     """
     import numpy as np
     import pandas as pd
 
     spark = graph.nodes.sparkSession
+    if mode not in ("distributed", "parity"):
+        raise ValueError(f"unknown mode {mode!r}")
     walks = random_walks(graph, walk_length=walk_length,
                          walks_per_node=walks_per_node, seed=seed)
     # (center, context) skip-gram pairs within the window — distributed
@@ -169,6 +190,11 @@ def node2vec(
     id_pos = {v: i for i, v in enumerate(node_ids)}
     ep, ns, lr0 = int(epochs), int(negative_samples), float(learning_rate)
     sd = int(seed)
+
+    if mode == "distributed":
+        return _node2vec_distributed(
+            spark, pairs, node_ids, id_pos, n, d, ep, ns, lr0, sd,
+            num_partitions)
 
     def train(pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib
@@ -210,6 +236,136 @@ def node2vec(
     tagged = pairs.withColumn("_g", F.lit(0))
     return tagged.groupBy("_g").applyInPandas(
         train, schema="node_id long, embedding array<double>")
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 over uint64 numpy arrays — the deterministic,
+    partition-layout-independent hash stream the distributed SGNS draws
+    negatives from (no per-row Python, unlike the md5 u01 used where an
+    oracle must reproduce the stream)."""
+    import numpy as np
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
+
+
+def _node2vec_distributed(spark, pairs, node_ids, id_pos, n, d, ep, ns, lr0, sd,
+                          num_partitions):
+    """Synchronous full-batch SGNS: broadcast model, partition-summed
+    gradients, driver update in partition-id order (see node2vec docstring)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    parts = int(num_partitions or spark.sparkContext.defaultParallelism)
+    # deterministic layout: hash-partition by the pair key; each partition
+    # re-sorts its full content, so the float summation tree depends only on
+    # (key → partition) assignment = (key, parts), not on input order
+    pair_df = (pairs.select("walk_id", "s1", "s2", "center", "context")
+               .repartition(parts, "walk_id", "s1", "s2")
+               .persist())
+    m_pairs = max(1, pair_df.count())
+
+    # hash-seeded init — identical philosophy (and constants) to parity mode
+    w_in = np.array([
+        [int(hashlib.md5(f"{v}:{j}:{sd}".encode()).hexdigest()[:15], 16)
+         / float(1 << 60) - 0.5 for j in range(d)] for v in node_ids]) / d
+    w_out = np.zeros((n, d))
+    pos_of = id_pos
+
+    sc = spark.sparkContext
+    bc_pos = sc.broadcast(pos_of)
+    history = []
+    try:
+        for e in range(ep):
+            lr = lr0 * (1.0 - e / max(1, ep))
+            bc_w = sc.broadcast((w_in, w_out))
+
+            def partial(batches, _e=e):
+                from pyspark import TaskContext
+                wi, wo = bc_w.value
+                pmap = bc_pos.value
+                chunks = [pdf for pdf in batches if len(pdf)]
+                if not chunks:
+                    return
+                whole = (pd.concat(chunks, ignore_index=True)
+                         .sort_values(["walk_id", "s1", "s2"]))
+                ci = np.array([pmap[int(v)] for v in whole["center"]],
+                              dtype=np.int64)
+                oi = np.array([pmap[int(v)] for v in whole["context"]],
+                              dtype=np.int64)
+                m = len(ci)
+                # per-pair key (layout-independent): mix the pair identity
+                key = _splitmix64(
+                    whole["walk_id"].to_numpy(np.uint64)
+                    ^ _splitmix64(whole["s1"].to_numpy(np.uint64)
+                                  + np.uint64(0x1000 * (_e + 1)))
+                    ^ _splitmix64(whole["s2"].to_numpy(np.uint64)
+                                  + np.uint64(0x9E55 + sd)))
+                g_in = np.zeros((n, d))
+                g_out = np.zeros((n, d))
+                loss = 0.0
+                zu = wi[ci]
+                # positive term
+                z = np.clip((zu * wo[oi]).sum(axis=1), -30, 30)
+                p = 1.0 / (1.0 + np.exp(-z))
+                loss += float(-np.log(np.clip(p, 1e-12, None)).sum())
+                g = (1.0 - p)[:, None]
+                np.add.at(g_in, ci, g * wo[oi])
+                np.add.at(g_out, oi, g * zu)
+                # negative terms
+                for k in range(ns):
+                    wk = (_splitmix64(key + np.uint64(k + 1))
+                          % np.uint64(n)).astype(np.int64)
+                    zn = np.clip((zu * wo[wk]).sum(axis=1), -30, 30)
+                    pn = 1.0 / (1.0 + np.exp(-zn))
+                    loss += float(-np.log(np.clip(1.0 - pn, 1e-12, None)).sum())
+                    gn = (-pn)[:, None]
+                    np.add.at(g_in, ci, gn * wo[wk])
+                    np.add.at(g_out, wk, gn * zu)
+                touched = np.nonzero(
+                    np.abs(g_in).sum(axis=1) + np.abs(g_out).sum(axis=1))[0]
+                pid = TaskContext.get().partitionId()
+                yield pd.DataFrame({
+                    "pid": pid,
+                    "pos": touched,
+                    "gin": [g_in[t].tolist() for t in touched],
+                    "gout": [g_out[t].tolist() for t in touched],
+                    "loss": [loss] + [0.0] * (len(touched) - 1)
+                    if len(touched) else [],
+                })
+
+            rows = pair_df.mapInPandas(
+                partial,
+                schema="pid int, pos long, gin array<double>, "
+                       "gout array<double>, loss double",
+            ).collect()
+            # fixed summation tree: partials applied in (pid, pos) order
+            rows.sort(key=lambda r: (r["pid"], r["pos"]))
+            # MEAN gradient (sum / m): full-batch GD needs the classic
+            # per-example scaling or the summed step diverges at any
+            # reasonable lr; the scalar factor keeps bit-determinism
+            scale = lr / m_pairs
+            tot_loss = 0.0
+            for r in rows:
+                w_in[r["pos"]] += scale * np.asarray(r["gin"])
+                w_out[r["pos"]] += scale * np.asarray(r["gout"])
+                tot_loss += r["loss"]
+            history.append(tot_loss / m_pairs)
+            bc_w.unpersist()
+    finally:
+        pair_df.unpersist()
+
+    out = spark.createDataFrame(pd.DataFrame({
+        "node_id": node_ids,
+        "embedding": [np.round(w_in[i], 6).tolist() for i in range(n)],
+    }))
+    out = out.localCheckpoint(eager=True)
+    out.loss_history = history  # type: ignore[attr-defined]
+    return out
 
 
 def hashgnn(

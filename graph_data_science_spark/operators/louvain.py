@@ -110,8 +110,11 @@ def _adjacency(graph: Graph, weighted: bool = True) -> DataFrame:
 
 
 def _sub_round(adj: DataFrame, comm: DataFrame, k: DataFrame, m: float,
-               p: int, n_classes: int, scratch: _Scratch) -> tuple[DataFrame, int]:
+               p: int, n_classes: int, scratch: _Scratch,
+               gamma: float = 1.0) -> tuple[DataFrame, int]:
     """One synchronous move pass for class ``node_id % n_classes == p``.
+    ``gamma`` is the Leiden resolution (LeidenBaseConfig.java:38; γ=1 =
+    classic modularity): it scales the expected-edges term of the gain.
     Returns (new assignment, #moves)."""
     vol = (comm.join(k, "node_id")
            .groupBy("comm").agg(F.sum("k").alias("vol")))
@@ -138,7 +141,8 @@ def _sub_round(adj: DataFrame, comm: DataFrame, k: DataFrame, m: float,
         .join(k.withColumnRenamed("node_id", "src"), "src")
     )
     own = F.when(F.col("C") == F.col("cur"), F.col("k")).otherwise(F.lit(0.0))
-    s = F.round(F.col("kuc") - F.col("k") * (F.col("vol") - own) / (2.0 * m), 6)
+    s = F.round(F.col("kuc")
+                - F.lit(float(gamma)) * F.col("k") * (F.col("vol") - own) / (2.0 * m), 6)
     best = (
         scored.select("src", "cur", "C", s.alias("s"))
         .groupBy("src", "cur")
@@ -168,7 +172,8 @@ def _sub_round(adj: DataFrame, comm: DataFrame, k: DataFrame, m: float,
     return merged.select("node_id", "comm"), int(moves)
 
 
-def _local_move(adj, sup_nodes, k, m, max_iterations, n_classes, scratch):
+def _local_move(adj, sup_nodes, k, m, max_iterations, n_classes, scratch,
+                gamma: float = 1.0):
     """Run class-restricted sync local moving to convergence on one level.
     Returns (assignment, total_moves, iterations_ran)."""
     comm = sup_nodes.select("node_id", F.col("node_id").alias("comm"))
@@ -178,7 +183,7 @@ def _local_move(adj, sup_nodes, k, m, max_iterations, n_classes, scratch):
     for it in range(1, max_iterations + 1):
         iter_moves = 0
         for p in range(n_classes):
-            comm, moved = _sub_round(adj, comm, k, m, p, n_classes, scratch)
+            comm, moved = _sub_round(adj, comm, k, m, p, n_classes, scratch, gamma)
             iter_moves += moved
         total += iter_moves
         if iter_moves == 0:
@@ -208,9 +213,11 @@ def _degrees(adj: DataFrame, sup_nodes: DataFrame) -> DataFrame:
         "node_id", F.coalesce("k", F.lit(0.0)).alias("k"))
 
 
-def _modularity_value(adj: DataFrame, comm: DataFrame, m: float) -> float:
-    """Q = Σ_C [ intra_rowsum(C)/(2m) − (vol(C)/(2m))² ] on the row-sum
-    convention (intra_rowsum already counts each internal edge twice)."""
+def _modularity_value(adj: DataFrame, comm: DataFrame, m: float,
+                      gamma: float = 1.0) -> float:
+    """Q_γ = Σ_C [ intra_rowsum(C)/(2m) − γ·(vol(C)/(2m))² ] on the row-sum
+    convention (intra_rowsum already counts each internal edge twice);
+    γ=1 is classic modularity."""
     cu = comm.select(F.col("node_id").alias("src"), F.col("comm").alias("cs"))
     cv = comm.select(F.col("node_id").alias("dst"), F.col("comm").alias("cd"))
     tagged = adj.join(cu, "src").join(cv, "dst")
@@ -219,7 +226,8 @@ def _modularity_value(adj: DataFrame, comm: DataFrame, m: float) -> float:
     vol = tagged.groupBy("cs").agg(F.sum("w").alias("vol"))
     parts = vol.join(intra, "cs", "left").select(
         (F.coalesce("i", F.lit(0.0)) / (2.0 * m)
-         - (F.col("vol") / (2.0 * m)) * (F.col("vol") / (2.0 * m))).alias("q"))
+         - F.lit(float(gamma))
+         * (F.col("vol") / (2.0 * m)) * (F.col("vol") / (2.0 * m))).alias("q"))
     return float(parts.agg(F.sum("q")).first()[0] or 0.0)
 
 
@@ -270,6 +278,87 @@ def _refine_connectivity(adj: DataFrame, comm: DataFrame,
     return out
 
 
+def _theta_refine(adj: DataFrame, orig: DataFrame, k: DataFrame, m: float,
+                  gamma: float, theta: float, seed: int,
+                  scratch: _Scratch, rounds: int = 3) -> DataFrame:
+    """θ-randomized Leiden refinement (Leiden.java:189 RefinementPhase,
+    θ default LeidenBaseConfig.java:43), reduced to a bounded distributed
+    pass: fragments start as SINGLETONS inside each local-move community
+    and repeatedly merge along intra-community edges.
+
+    Per round, for adjacent fragments r, r' of the same original community:
+    gain(r→r') = e(r,r')/(2m) − γ·vol(r)·vol(r')/(2m)² (the CPM/modularity
+    merge delta). Each fragment picks a positive-gain target drawn
+    ∝ exp(gain/θ) via the Gumbel-max trick over the hash-u01 stream —
+    deterministic per ``seed`` (the reference takes randomSeed), emulating
+    the reference's randomized-refinement distribution without
+    run-to-run nondeterminism. Merges apply only "uphill" (into strictly
+    larger volume, ties → smaller id), so each round's merge relation is
+    acyclic. Every merge follows an edge, so every produced fragment is
+    CONNECTED — the invariant Leiden refinement exists to restore — and
+    fragments never cross local-move community boundaries.
+
+    The result is a partition finer than (or equal to) the local-move
+    partition, as in the reference; subsequent levels' local moving
+    re-merges fragments when γ-modularity favors it. Merges require
+    positive gain, so the pass never degrades γ-modularity below the
+    singleton-refined start."""
+    from graph_data_science_spark.operators.embeddings import _u01
+
+    o_src = orig.select(F.col("node_id").alias("src"), F.col("comm").alias("_o1"))
+    o_dst = orig.select(F.col("node_id").alias("dst"), F.col("comm").alias("_o2"))
+    intra = (adj.where(F.col("src") != F.col("dst"))
+             .join(o_src, "src").join(o_dst, "dst")
+             .where(F.col("_o1") == F.col("_o2"))
+             .select("src", "dst", "w"))
+    intra = scratch.truncate(intra, "th_intra")
+
+    comm = orig.select("node_id", F.col("node_id").alias("comm"))
+    comm = scratch.truncate(comm, "th_comm")
+    for rnd in range(int(rounds)):
+        c_r = comm.select(F.col("node_id").alias("src"), F.col("comm").alias("r"))
+        c_r2 = comm.select(F.col("node_id").alias("dst"), F.col("comm").alias("r2"))
+        vol = (comm.join(k, "node_id").groupBy("comm")
+               .agg(F.sum("k").alias("vol")))
+        e_rr = (intra.join(c_r, "src").join(c_r2, "dst")
+                .where(F.col("r") != F.col("r2"))
+                .groupBy("r", "r2").agg(F.sum("w").alias("e")))
+        cand = (e_rr
+                .join(vol.select(F.col("comm").alias("r"),
+                                 F.col("vol").alias("vr")), "r")
+                .join(vol.select(F.col("comm").alias("r2"),
+                                 F.col("vol").alias("vr2")), "r2"))
+        gain = (F.col("e") / (2.0 * m)
+                - F.lit(float(gamma)) * F.col("vr") * F.col("vr2")
+                / ((2.0 * m) * (2.0 * m)))
+        uphill = ((F.col("vr2") > F.col("vr"))
+                  | ((F.col("vr2") == F.col("vr")) & (F.col("r2") < F.col("r"))))
+        u = _u01(F.col("r"), F.col("r2"), F.lit("theta"), F.lit(rnd),
+                 F.lit(int(seed)))
+        gumbel = -F.log(-F.log(
+            F.greatest(F.lit(1e-12), F.least(u, F.lit(1.0 - 1e-12)))))
+        scored = (cand.where(uphill)
+                  .select("r", "r2", gain.alias("g"),
+                          (gain / F.lit(float(theta)) + gumbel).alias("pri"))
+                  .where(F.col("g") > 0.0))
+        pick = (scored.groupBy("r")
+                .agg(F.max(F.struct(F.col("pri"), (-F.col("r2")).alias("n2"),
+                                    F.col("r2").alias("tgt"))).alias("b"))
+                .select(F.col("r").alias("comm"), F.col("b.tgt").alias("tgt")))
+        from pyspark.sql import Observation
+        obs = Observation()
+        merged = comm.join(pick, "comm", "left").select(
+            "node_id", F.coalesce("tgt", "comm").alias("comm"),
+            F.col("tgt").isNotNull().cast("int").alias("_mg"))
+        merged = merged.observe(obs, F.sum("_mg").alias("mg"))
+        merged = scratch.truncate(merged, "th_comm")
+        moved = obs.get["mg"] or 0
+        comm = merged.select("node_id", "comm")
+        if moved == 0:
+            break
+    return scratch.truncate(_relabel_min_member(comm), "th_out")
+
+
 def modularity_optimization(
     graph: Graph,
     max_iterations: int = 10,
@@ -302,7 +391,8 @@ def modularity_optimization(
 
 
 def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
-                refine: bool):
+                refine: bool, gamma: float = 1.0, theta: float = 0.0,
+                seed: int = 42):
     spark = graph.nodes.sparkSession
     scratch = _Scratch(spark)
     try:
@@ -321,7 +411,7 @@ def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
         for _ in range(max_levels):
             k = scratch.truncate(_degrees(adj, sup), "k")
             comm, moves, iters = _local_move(adj, sup, k, m, max_iterations,
-                                             n_classes, scratch)
+                                             n_classes, scratch, gamma)
             total_iters += iters
             if refine:
                 # aggregate on the refined (connectivity-split) partition:
@@ -330,7 +420,13 @@ def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
                 # Leiden additionally seeds the next level's move start from
                 # the unrefined partition; local moving re-merges the splits
                 # when modularity favors it)
-                comm = _refine_connectivity(adj, comm, scratch)
+                if theta and theta > 0.0:
+                    # θ-randomized refinement from singletons: fragments are
+                    # connected by construction (every merge follows an edge)
+                    comm = _theta_refine(adj, comm, k, m, gamma, theta,
+                                         seed, scratch)
+                else:
+                    comm = _refine_connectivity(adj, comm, scratch)
             comm = scratch.truncate(_relabel_min_member(comm), "rl")
             mapping = scratch.truncate(mapping.join(
                 comm.withColumnRenamed("node_id", "super"), "super"
@@ -343,7 +439,8 @@ def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
                 comm.select(F.col("comm").alias("node_id")).distinct(), "sup")
         final = mapping.select("node_id", F.col("super").alias("community"))
         q = _modularity_value(
-            adj0, final.select("node_id", F.col("community").alias("comm")), m)
+            adj0, final.select("node_id", F.col("community").alias("comm")),
+            m, gamma)
         final = final.localCheckpoint(eager=True)
         return CommunityResult(final, q, levels, total_iters, True)
     finally:
@@ -369,9 +466,28 @@ def leiden(
     max_iterations: int = 10,
     n_classes: int = 2,
     weighted: bool = True,
+    gamma: float = 1.0,
+    theta: float = 0.01,
+    seed: int = 42,
 ) -> CommunityResult:
-    """``gds.leiden`` analog (Leiden.java:42) with deterministic
-    connectivity refinement between local moving and aggregation — every
-    returned community is connected, the invariant full Leiden guarantees."""
+    """``gds.leiden`` analog (Leiden.java:42): local moving at resolution
+    ``gamma`` (LeidenBaseConfig.java:38, scaled into the gain the same way
+    the reference folds its modularityScaleCoefficient into γ), then
+    refinement between local moving and aggregation:
+
+    1. connectivity split — every community is split into the connected
+       components of its induced subgraph (the invariant Leiden exists to
+       restore: no disconnected communities);
+    2. θ-randomized merge (LeidenBaseConfig.java:43, default 0.01) — each
+       split fragment may merge back into an adjacent fragment of the SAME
+       original community when the γ-modularity gain is positive, the
+       target drawn ∝ exp(gain/θ) via the Gumbel-max trick over the
+       hash-u01 stream: deterministic given ``seed`` (the reference takes
+       randomSeed too), reproducing the reference's randomized-refinement
+       DISTRIBUTION shape without run-to-run nondeterminism. θ=0 disables
+       the randomized pass (pure connectivity refinement).
+
+    Merges only apply on positive gain, so refinement never degrades the
+    γ-modularity of the split partition it starts from."""
     return _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
-                       refine=True)
+                       refine=True, gamma=gamma, theta=theta, seed=seed)

@@ -207,18 +207,173 @@ def dijkstra(graph: Graph, source: int, weighted: bool = True,
         F.transform(F.col("_z"), lambda s: s["_dv"]).alias("costs"),
         "path",
     )
-    return ShortestPathResult(out, res.ran_iterations, res.converged)
+    result = ShortestPathResult(out, res.ran_iterations, res.converged)
+    # exploration volume (Σ active over supersteps) — the baseline A*'s
+    # bound-pruning is measured against
+    result.explored_states = sum(m["active"] for m in res.metrics)
+    return result
+
+
+#: nautical-mile Earth radius — the reference's haversine constant
+#: (paths/astar/AStar.java HaversineHeuristic: 6371 km × 0.539957)
+_EARTH_RADIUS_NM = 6371 * 0.539957
+
+
+def _haversine_nm(lat1, lon1, lat2, lon2):
+    """Great-circle distance in nautical miles (columns in degrees) —
+    the reference's HaversineHeuristic.distance (paths/astar/AStar.java)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat, dlon = F.radians(lat2 - lat1) / 2, F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) * F.sin(dlat) + \
+        F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * _EARTH_RADIUS_NM) * F.asin(F.sqrt(a))
 
 
 def astar(graph: Graph, source: int, target: int, weighted: bool = True,
-          max_iterations: int = 100) -> ShortestPathResult:
-    """``gds.shortestPath.astar`` analog. The haversine heuristic only
-    changes the reference's EXPLORATION ORDER (it is admissible/consistent,
-    paths/astar/AStar.java); the returned path is Dijkstra's. The superstep
-    relaxation already explores breadth-parallel, so the result is computed
-    directly: dijkstra restricted to ``target``."""
-    return dijkstra(graph, source, weighted=weighted,
-                    max_iterations=max_iterations, targets=[target])
+          max_iterations: int = 100,
+          latitude_property: str | None = None,
+          longitude_property: str | None = None) -> ShortestPathResult:
+    """``gds.shortestPath.astar`` analog — heuristic-PRUNED search, not a
+    dijkstra alias (paths/astar/AStar.java).
+
+    The reference's priority queue orders exploration by f = g + h(node)
+    (haversine to the target over ``latitudeProperty``/``longitudeProperty``).
+    A breadth-parallel superstep has no queue, so the pruning is expressed as
+    **branch-and-bound on f**: per superstep only frontier nodes with
+    ``g + h < best`` expand, where ``best`` is the target's settled distance
+    as of the PREVIOUS superstep — it rides the Pregel Observation
+    (``driver.metrics_so_far``), so reading it costs zero extra jobs and
+    lags one superstep, which only under-prunes, never cuts a node that
+    could still improve the target. With an admissible h this is exact (a
+    node cut by the bound reaches the target at cost ≥ g + h ≥ best), and
+    the explored-state volume shrinks the way the reference's queue
+    ordering shrinks it; h = 0 (no coordinates) degrades to plain bound
+    pruning, still exact, still strictly less exploration than fixpoint
+    dijkstra once the target settles.
+
+    Exploration volume is observable as ``sum(active)`` over the run's
+    metrics — tests assert astar explores fewer states than dijkstra."""
+    if weighted and not graph.has_weight():
+        raise ValueError("weighted shortest paths require edges.weight")
+    spark = graph.nodes.sparkSession
+    src_id, tgt_id = int(source), int(target)
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = graph.edges.select(*cols).localCheckpoint(eager=True)
+
+    if (latitude_property is None) != (longitude_property is None):
+        raise ValueError("latitude_property and longitude_property go together")
+    if latitude_property is not None:
+        for p in (latitude_property, longitude_property):
+            if p not in graph.nodes.columns:
+                raise ValueError(f"The property `{p}` has not been loaded")
+        tgt_row = graph.nodes.where(F.col("node_id") == tgt_id).select(
+            latitude_property, longitude_property).first()
+        h_col = _haversine_nm(
+            F.col(latitude_property), F.col(longitude_property),
+            F.lit(float(tgt_row[0])), F.lit(float(tgt_row[1])))
+    else:
+        h_col = F.lit(0.0)
+
+    if graph.nodes.where(F.col("node_id") == tgt_id).limit(1).count() == 0:
+        raise ValueError(f"target node {tgt_id} not in graph")
+
+    init = F.when(F.col("node_id") == src_id, F.lit(0.0)).otherwise(F.lit(_INF))
+    state = graph.nodes.select(
+        "node_id", init.alias("dist"),
+        F.col("node_id").alias("pred"),
+        h_col.alias("_h"),
+        # _improved tracks every dist improvement (the exploration-volume
+        # metric); _active additionally requires surviving the f-bound
+        (init < F.lit(_INF)).cast("int").alias("_improved"),
+        (init < F.lit(_INF)).cast("int").alias(ACTIVE_COL),
+    )
+    relax = F.col("_d") + (F.col("weight") if weighted else F.lit(1.0))
+
+    driver = Pregel(
+        spark, max_iterations=max_iterations,
+        extra_metrics={
+            "best_target": F.min(
+                F.when(F.col("node_id") == tgt_id, F.col("dist"))),
+            "improved": F.sum("_improved"),
+        },
+        manifest={"algorithm": "astar", "source": src_id, "target": tgt_id})
+
+    def step(st: DataFrame, superstep: int) -> DataFrame:
+        hist = driver.metrics_so_far
+        best = hist[-1]["best_target"] if hist else None
+        bound = F.lit(best if best is not None else _INF)
+        # bound-pruned frontier: expand only where f = g + h < best
+        frontier = shuffle_hash(st.where(
+            (F.col(ACTIVE_COL) == 1)
+            & (F.col("dist") + F.col("_h") < bound)
+        ).select(F.col("node_id").alias("_n"), F.col("dist").alias("_d")))
+        cand = (
+            edges.join(frontier, edges.src == F.col("_n"), "inner")
+            .select(F.col("dst"), relax.alias("_cd"), F.col("src").alias("_p"))
+            .groupBy("dst")
+            .agg(F.min(F.struct(F.col("_cd"), F.col("_p"))).alias("_offer"))
+        )
+        joined = st.join(shuffle_hash(cand), st.node_id == cand.dst, "left")
+        better = F.col("_offer._cd") < F.col("dist")
+        new_dist = F.when(better, F.col("_offer._cd")).otherwise(F.col("dist"))
+        return joined.select(
+            st.node_id,
+            new_dist.alias("dist"),
+            F.when(better, F.col("_offer._p")).otherwise(F.col("pred")).alias("pred"),
+            F.col("_h"),
+            F.coalesce(better, F.lit(False)).cast("int").alias("_improved"),
+            # improved-but-out-of-bound nodes stay quiet: they cannot lead
+            # to a better target path (admissibility) so never re-expand
+            (F.coalesce(better, F.lit(False))
+             & (new_dist + F.col("_h") < bound)).cast("int").alias(ACTIVE_COL),
+        )
+
+    res = driver.run(state, step)
+
+    # path reconstruction: walk pred pointers backward from the target
+    final = res.state.where(
+        (F.col("node_id") == tgt_id) & (F.col("dist") < F.lit(_INF)))
+    preds = res.state.select(
+        F.col("node_id").alias("_pn"), F.col("pred").alias("_pp"),
+        F.col("dist").alias("_pd")).localCheckpoint(eager=True)
+    walk = final.select(
+        F.col("node_id").alias("target_node"),
+        F.col("dist").alias("total_cost"),
+        F.col("node_id").alias("_cur"),
+        F.array(F.col("node_id")).alias("node_ids"),
+    ).localCheckpoint(eager=True)
+    for i in range(res.ran_iterations + 1):
+        at_src = F.col("_cur") == src_id
+        walk = walk.join(preds, walk["_cur"] == preds["_pn"], "inner").select(
+            "target_node", "total_cost",
+            F.when(at_src, F.col("_cur")).otherwise(F.col("_pp")).alias("_cur"),
+            F.when(at_src, F.col("node_ids"))
+            .otherwise(F.concat(F.array(F.col("_pp")), F.col("node_ids"))).alias("node_ids"),
+        )
+        if (i + 1) % 4 == 0:
+            walk = walk.localCheckpoint(eager=True)
+    dist_map = res.state.select(F.col("node_id").alias("_dn"), F.col("dist").alias("_dv"))
+    base = walk.select(
+        F.lit(src_id).cast("long").alias("source_node"), "target_node",
+        "total_cost", "node_ids",
+        F.concat_ws("->", F.col("node_ids").cast("array<string>")).alias("path"))
+    exploded = base.select("source_node", "target_node", "total_cost", "path",
+                           F.posexplode("node_ids").alias("_pos", "_nid"))
+    costs = (exploded.join(dist_map, exploded["_nid"] == dist_map["_dn"])
+             .groupBy("source_node", "target_node", "total_cost", "path")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("_pos", "_nid", "_dv"))).alias("_z")))
+    out = costs.select(
+        "source_node", "target_node", "total_cost",
+        F.transform(F.col("_z"), lambda s: s["_nid"]).alias("node_ids"),
+        F.transform(F.col("_z"), lambda s: s["_dv"]).alias("costs"),
+        "path",
+    )
+    result = ShortestPathResult(out, res.ran_iterations, res.converged)
+    # exploration-volume evidence for tests/plan audits: every dist
+    # improvement counts, including improvements the bound then silences
+    result.explored_states = sum(m["improved"] for m in res.metrics)
+    return result
 
 
 def yens(graph: Graph, source: int, target: int, k: int = 3,
@@ -375,3 +530,64 @@ def dag_levels(graph: Graph, max_iterations: int = 100) -> DataFrame:
         raise ValueError(
             f"dag_levels did not converge in {max_iterations} iterations — graph has a cycle")
     return res.state.select("node_id", "level")
+
+
+def dag_longest_path(graph: Graph, weighted: bool = True,
+                     max_iterations: int = 100) -> DataFrame:
+    """``gds.dag.longestPath`` analog → (node_id, distance, pred).
+
+    Reference semantics (dag/longestPath/DagLongestPath.java via
+    dag/topologicalsort/TopologicalSort.java:258: ``potentialDistance =
+    longestPathDistances.get(source) + weight`` folded with max): for every
+    node, the maximum-total-weight path from any root (node with no
+    in-edges); roots have distance 0. Computed as the max-relaxation twin of
+    :func:`shortest_paths` — per superstep one frontier ⋈ edges join + one
+    partial-aggregated ``max(struct(dist, pred))`` + one state join; on a
+    DAG this converges in ≤ longest-chain supersteps. The argmax
+    PREDECESSOR (ties → smaller pred id) makes the implied path tree
+    deterministic and engine-portable. Raises on cyclic input (the
+    reference's topological-sort DAG validation).
+    """
+    if weighted and not graph.has_weight():
+        raise ValueError("weighted dag_longest_path requires edges.weight")
+    spark = graph.nodes.sparkSession
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = graph.edges.select(*cols).persist()
+
+    state = graph.nodes.select(
+        "node_id", F.lit(0.0).alias("dist"),
+        F.col("node_id").alias("pred"),
+        F.lit(1).cast("int").alias(ACTIVE_COL),
+    )
+    relax = F.col("_d") + (F.col("weight") if weighted else F.lit(1.0))
+
+    def step(st: DataFrame, superstep: int) -> DataFrame:
+        frontier = shuffle_hash(st.where(F.col(ACTIVE_COL) == 1).select(
+            F.col("node_id").alias("_n"), F.col("dist").alias("_d")))
+        cand = (
+            edges.join(frontier, edges.src == F.col("_n"), "inner")
+            # argmax with deterministic ties: maximize (dist, -pred) so equal
+            # distances resolve to the SMALLER predecessor id
+            .select(F.col("dst"), relax.alias("_cd"), F.col("src").alias("_p"))
+            .groupBy("dst")
+            .agg(F.max(F.struct(F.col("_cd"), (-F.col("_p")).alias("_np"))).alias("_offer"))
+        )
+        joined = st.join(shuffle_hash(cand), st.node_id == cand.dst, "left")
+        better = F.col("_offer._cd") > F.col("dist")
+        return joined.select(
+            st.node_id,
+            F.when(better, F.col("_offer._cd")).otherwise(F.col("dist")).alias("dist"),
+            F.when(better, -F.col("_offer._np")).otherwise(F.col("pred")).alias("pred"),
+            F.coalesce(better, F.lit(False)).cast("int").alias(ACTIVE_COL),
+        )
+
+    driver = Pregel(spark, max_iterations=max_iterations,
+                    manifest={"algorithm": "dag_longest_path",
+                              "weighted": weighted})
+    res = driver.run(state, step)
+    edges.unpersist()
+    if not res.converged:
+        raise ValueError(
+            f"dag_longest_path did not converge in {max_iterations} iterations"
+            " — graph has a cycle")
+    return res.state.select("node_id", "dist", "pred")

@@ -37,7 +37,8 @@ def node_similarity(
     similarity_cutoff: float = 1e-42,
     degree_cutoff: int = 1,
     metric: str = "JACCARD",
-    max_neighbor_frequency: int | None = None,
+    max_neighbor_frequency: int | str | None = "auto",
+    pair_budget: int | None = None,
     source_node_filter=None,
     target_node_filter=None,
 ) -> DataFrame:
@@ -56,6 +57,16 @@ def node_similarity(
     approximation matching the reference's degree-bound pruning intent
     (nodesim/NodeSimilarity.java upper-bound cutoffs). None = exact.
 
+    The DEFAULT is ``"auto"`` (the 100 TB posture): one aggregation builds
+    the shared-neighbor frequency HISTOGRAM (distinct-frequency classes —
+    a tiny driver-side table even at 10⁹ edges) giving the exact pair
+    volume Σ f·(f−1)/2; if it is within ``pair_budget`` (default
+    50·#distinct-neighbors, floor 10⁷) the plan stays EXACT (cap off —
+    small/medium graphs, and the correctness gate, are untouched);
+    otherwise the cap is the LARGEST frequency whose cumulative pair
+    volume fits the budget, so exactly the hottest classes that emit the
+    quadratic bulk are pruned and everything the budget affords is kept.
+
     ``source_node_filter`` / ``target_node_filter``: the filtered-variant
     surface (``gds.nodeSimilarity.filtered``) — SQL predicate strings over
     ``node_id`` applied to node1/node2 respectively, e.g. ``"node_id < 100"``.
@@ -64,6 +75,28 @@ def node_similarity(
     sizes = nbrs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ok = sizes.where(F.col("deg") >= int(degree_cutoff))
     nbrs = nbrs.join(ok.select("src"), "src", "left_semi")
+
+    if max_neighbor_frequency == "auto":
+        freq = nbrs.groupBy("dst").agg(F.count(F.lit(1)).alias("_f"))
+        hist = sorted(
+            (int(r["_f"]), int(r["cnt"])) for r in
+            freq.groupBy("_f").agg(F.count(F.lit(1)).alias("cnt")).collect())
+        n_dsts = sum(c for _, c in hist)
+        total_pairs = sum(c * f * (f - 1) // 2 for f, c in hist)
+        budget = pair_budget if pair_budget is not None else max(
+            10_000_000, 50 * n_dsts)
+        if total_pairs <= budget:
+            max_neighbor_frequency = None  # exact — volume is affordable
+        else:
+            # largest frequency class whose cumulative volume still fits
+            cum, cap = 0, None
+            for f, c in hist:
+                cum += c * f * (f - 1) // 2
+                if cum > budget:
+                    break
+                cap = f
+            max_neighbor_frequency = (
+                cap if cap is not None else max(1, hist[0][0] - 1))
 
     pair_nbrs = nbrs
     if max_neighbor_frequency is not None:
@@ -294,17 +327,27 @@ def knn(
     similarity_cutoff: float = 0.0,
     source_node_filter: str | None = None,
     target_node_filter: str | None = None,
+    method: str = "exact",
+    max_iterations: int = 10,
+    seed: int = 42,
 ) -> DataFrame:
     """``gds.knn`` analog: k nearest neighbors by node-property similarity
     → (node1, node2, similarity).
 
     Scalar properties are assembled into a vector; an array property is used
-    as-is; similarity = cosine. Runs on the exact TILED GEMM kernel
-    (:func:`cosine_topk` default strategy — executor-resident matrix blocks,
-    nothing on the driver) — the reference's NN-Descent approximation is a
-    convergence optimization, not a semantic; its output contract (top-k
-    above cutoff) is what we reproduce, exactly.
+    as-is; similarity = cosine.
+
+    ``method="exact"`` (default): the tiled GEMM kernel (:func:`cosine_topk`
+    — executor-resident matrix blocks, nothing on the driver). Exact, but
+    O(n²) dot products: the right plan up to ~10⁷ vectors.
+    ``method="nn_descent"``: the reference's own approximate algorithm
+    (similarity/knn/Knn.java:51) via :func:`knn_nn_descent` — O(n·k²) per
+    round, the 10⁹-vector plan. Unavailable with filters (the reference's
+    filtered variant also runs its own path).
     """
+    if method == "nn_descent":
+        if source_node_filter or target_node_filter:
+            raise ValueError("nn_descent does not support node filters")
     if isinstance(node_properties, str):
         node_properties = [node_properties]
     nodes = graph.nodes
@@ -317,6 +360,16 @@ def knn(
     else:
         vec = F.array(*[F.col(p).cast("double") for p in node_properties])
     vecs = nodes.select(F.col("node_id").alias("vec_id"), vec.alias("embedding"))
+    if method == "nn_descent":
+        out = knn_nn_descent(vecs, k=top_k, max_iterations=max_iterations,
+                             seed=seed)
+        return out.select(
+            F.col("vec_id").alias("node1"),
+            F.col("neighbor_id").alias("node2"),
+            F.col("cosine").alias("similarity"),
+        ).where(F.col("similarity") >= similarity_cutoff)
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}")
     # filtered variant (gds.knn.filtered): sourceNodeFilter restricts the
     # query side, targetNodeFilter restricts the candidate INDEX before
     # ranking (top-k is taken among allowed targets, matching the reference)
@@ -345,13 +398,20 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 42,
 ) -> DataFrame:
     """IVF-bucketed approximate cosine top-k (same output schema as
     :func:`cosine_topk`). Deterministic centroids: the ``n_clusters``
-    lowest-id vectors. Recall < 1 by construction; tested against the
-    exact kernel for recall ≥ threshold, not equality."""
+    vectors with smallest hash-u01(id, seed) — a uniform sample of the id
+    space (robust to sorted/clustered id layouts, unlike first-n-by-id).
+    Recall < 1 by construction; tested against the exact kernel for
+    recall ≥ threshold, not equality."""
+    from graph_data_science_spark.operators.embeddings import _u01
+
     spark = vecs.sparkSession
-    cents = vecs.orderBy(id_col).limit(int(n_clusters))
+    cents = vecs.orderBy(
+        _u01(F.col(id_col), F.lit("ivfseed"), F.lit(int(seed))),
+        F.col(id_col)).limit(int(n_clusters))
     c_ids, c_mat, c_norms = _collect_matrix(cents, id_col, vec_col)
     b_cent = spark.sparkContext.broadcast(c_mat / c_norms[:, None])
     probe = int(n_probe)
@@ -409,3 +469,166 @@ def cosine_topk_ivf(
         .where(F.col("_rn") <= int(k))
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# NN-descent: the reference's approximate KNN (similarity/knn/Knn.java:51)
+# ---------------------------------------------------------------------------
+
+def knn_nn_descent(
+    vecs: DataFrame,
+    k: int = 10,
+    max_iterations: int = 10,
+    sample_rate: float = 0.5,
+    delta_threshold: float = 0.001,
+    random_joins: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NN-descent approximate cosine top-k → (vec_id, neighbor_id, cosine).
+
+    The reference's KNN is NOT exact: it runs Dong et al.'s NN-descent
+    (similarity/knn/Knn.java:51, config knobs KnnBaseConfig.java:48-94 —
+    sampleRate 0.5, deltaThreshold 0.001, randomJoins, maxIterations).
+    This is the same algorithm as one Catalyst plan per round:
+
+    - init: every node draws k deterministic hash-random neighbor candidates
+      (``u01(id, slot, seed)`` → rank over n) — the reference's
+      GenerateRandomNeighbors step;
+    - per round, the candidate set is the classic neighbor-of-neighbor local
+      join: current lists symmetrized (u→v ∪ v→u), then self-joined on the
+      shared endpoint — "my neighbor's neighbors are my candidates" — plus
+      ``random_joins`` fresh hash-random candidates per node (escape hatch,
+      reference randomJoins);
+    - candidates are scored with a JVM-side ``zip_with``/``aggregate`` dot
+      product (no Python in the hot path), unioned with the incumbent
+      lists, and re-ranked to top-k per node (window on rounded cosine,
+      ties → smaller neighbor id);
+    - convergence: stop when the fraction of list entries that changed in a
+      round ≤ ``delta_threshold`` (reference deltaThreshold), read from the
+      previous round's Observation — zero extra jobs.
+
+    Scale shape: each round is O(n·k²) candidate pairs — NOT O(n²) — with
+    two shuffle joins to attach vectors and one window; candidate
+    generation shuffles on node id, so hot nodes can't blow up (lists are
+    capped at k). ``sample_rate`` thins the neighbor-of-neighbor join on
+    one side, cutting a round to O(n·k²·rate) (reference sampledListSize).
+    Output is approximate by contract; tests assert recall ≥ 0.9 against
+    the exact tiled GEMM at small scale.
+    """
+    from graph_data_science_spark.operators.embeddings import _u01
+    from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
+
+    spark = vecs.sparkSession
+    kk = int(k)
+    v = vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    # pre-normalize once: cosine = dot of unit vectors
+    norm = F.sqrt(F.aggregate(F.transform(F.col("_vec"), lambda a: a * a),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    unit = v.select(
+        "_id",
+        F.transform(F.col("_vec"),
+                    lambda a: a / F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+                    ).alias("_vec"),
+    ).persist()
+    n = unit.count()
+    ids = unit.select(F.col("_id"))
+
+    def _score(cand: DataFrame) -> DataFrame:
+        """(u, c) pairs → (u, c, cosine) via two vector joins + zip_with."""
+        a = unit.select(F.col("_id").alias("u"), F.col("_vec").alias("_va"))
+        b = unit.select(F.col("_id").alias("c"), F.col("_vec").alias("_vb"))
+        dot = F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return (cand.join(a, "u").join(b, "c")
+                .select("u", "c", F.round(dot, 6).alias("s")))
+
+    def _rand_cands(slots: int, tag: str) -> DataFrame:
+        """~slots deterministic hash-random candidate ids per node via a
+        BUCKET join (scale-safe — no global sort/window): every candidate id
+        hashes into one of n buckets per round tag; each (node, slot) draws
+        a bucket. Bucket occupancy is ~Poisson(1), so a node receives about
+        ``slots`` candidates (the variance is immaterial — NN-descent's
+        local join dominates after round 1)."""
+        tagged = ids.select(
+            F.col("_id").alias("u"),
+            F.explode(F.array(*[F.lit(i) for i in range(slots)])).alias("_slot"))
+        bucketed = ids.select(
+            F.col("_id").alias("c"),
+            F.pmod(F.hash(F.col("_id"), F.lit(tag), F.lit(int(seed))),
+                   F.lit(n)).alias("_bk"))
+        pick = tagged.select(
+            "u",
+            F.pmod(F.hash(F.col("u"), F.col("_slot"), F.lit(tag),
+                          F.lit(int(seed) + 7)), F.lit(n)).alias("_bk"))
+        return pick.join(bucketed, "_bk").where(F.col("u") != F.col("c")) \
+            .select("u", "c")
+
+    # ---- init: k random candidates per node, scored and ranked -------------
+    w_rank = Window.partitionBy("u").orderBy(F.desc("s"), F.asc("c"))
+    init_pairs = _score(_rand_cands(kk + 2, "init").dropDuplicates(["u", "c"]))
+    init_lists = (init_pairs.withColumn("_rn", F.row_number().over(w_rank))
+                  .where(F.col("_rn") <= kk)
+                  .groupBy("u")
+                  .agg(F.array_sort(F.collect_list(
+                      F.struct(F.col("c"), F.col("s")))).alias("nbrs")))
+    state0 = (ids.select(F.col("_id").alias("u"))
+              .join(init_lists, "u", "left")
+              .select("u",
+                      F.coalesce("nbrs", F.array().cast(
+                          "array<struct<c:bigint,s:double>>")).alias("nbrs"),
+                      F.lit(1).cast("int").alias(ACTIVE_COL)))
+
+    driver = Pregel(
+        spark, max_iterations=int(max_iterations),
+        manifest={"algorithm": "knn_nn_descent", "k": kk, "seed": int(seed)})
+
+    def step(st: DataFrame, superstep: int) -> DataFrame:
+        hist = driver.metrics_so_far
+        if hist and hist[-1]["active"] <= delta_threshold * n:
+            # converged under the reference's delta rule: silence everyone
+            return st.select("u", "nbrs", F.lit(0).cast("int").alias(ACTIVE_COL))
+        cur = st.select("u", F.explode("nbrs").alias("_e")) \
+            .select("u", F.col("_e.c").alias("c"))
+        # symmetrize, then neighbor-of-neighbor local join; sample one side
+        sym = cur.unionByName(
+            cur.select(F.col("c").alias("u"), F.col("u").alias("c")))
+        sampled = sym.where(
+            _u01(F.col("u"), F.col("c"), F.lit("smp"),
+                 F.lit(superstep), F.lit(int(seed))) < float(sample_rate))
+        nn = (sym.select(F.col("u").alias("_j"), F.col("c").alias("u"))
+              .join(sampled.select(F.col("u").alias("_j"), "c"), "_j")
+              .select("u", "c").where(F.col("u") != F.col("c")))
+        cands = nn.unionByName(
+            _rand_cands(int(random_joins), f"rj{superstep}"))
+        # drop candidates already in the incumbent list, then score fresh ones
+        fresh = cands.dropDuplicates(["u", "c"]).join(
+            cur, ["u", "c"], "left_anti")
+        scored = _score(fresh)
+        merged = scored.unionByName(
+            st.select("u", F.explode("nbrs").alias("_e"))
+            .select("u", F.col("_e.c").alias("c"), F.col("_e.s").alias("s")))
+        new_lists = (merged.withColumn("_rn", F.row_number().over(w_rank))
+                     .where(F.col("_rn") <= kk)
+                     .groupBy("u")
+                     .agg(F.array_sort(F.collect_list(
+                         F.struct(F.col("c"), F.col("s")))).alias("nbrs2")))
+        out = st.join(new_lists, "u", "left").select(
+            "u",
+            F.coalesce("nbrs2", "nbrs").alias("_new"),
+            F.col("nbrs").alias("_old"))
+        return out.select(
+            "u", F.col("_new").alias("nbrs"),
+            (F.col("_new") != F.col("_old")).cast("int").alias(ACTIVE_COL))
+
+    res = driver.run(state0, step)
+    unit.unpersist()
+    out = res.state.select("u", F.explode("nbrs").alias("_e")).select(
+        F.col("u").alias("vec_id"),
+        F.col("_e.c").alias("neighbor_id"),
+        F.col("_e.s").alias("cosine"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= kk).drop("_rn"))

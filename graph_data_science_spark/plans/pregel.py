@@ -268,6 +268,12 @@ class Pregel:
         ``_active`` int column; convergence is ``sum(_active) == 0``.
         """
         metrics: list[dict] = []
+        #: live view for step_fn closures: algorithms that steer the NEXT
+        #: superstep off the previous superstep's aggregates (e.g. A*'s
+        #: branch-and-bound target distance) read ``driver.metrics_so_far[-1]``
+        #: — the aggregate rides the materializing job's Observation, so the
+        #: steering costs zero extra jobs
+        self.metrics_so_far = metrics
         start_step = 0
         state = initial_state
         if self.checkpoint_dir:

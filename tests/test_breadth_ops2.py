@@ -99,3 +99,35 @@ def test_spark_estimate_admission_check(spark):
     assert fits_executors(est["state_bytes"], 2000, 8 * 2 ** 30)
     # …but not over 4 partitions
     assert not fits_executors(est["state_bytes"], 4, 8 * 2 ** 30)
+
+
+def test_pagerank_reference_estimate_doc_anchor():
+    """The published doc example: 8 nodes / 14 rels → exactly 696 bytes
+    (page-rank.adoc .estimate result table row)."""
+    from graph_data_science_spark.operators.estimate import (
+        pagerank_reference_bytes)
+    assert pagerank_reference_bytes(8) == 696
+
+
+def test_estimate_dispatcher_breadth():
+    from graph_data_science_spark.operators.estimate import estimate
+    out = estimate("pagerank", node_count=8, edge_count=14)
+    assert out["reference_bytes"] == 696
+    assert out["state_bytes"] > 0
+    out = estimate("wcc", node_count=100, edge_count=200)
+    assert out["reference_bytes"] == 64 + 800
+    for algo, kw in [
+        ("bfs", {}), ("sssp", {}), ("k_core", {}), ("scc", {}), ("hits", {}),
+        ("label_propagation", {}), ("triangle_count", {}), ("louvain", {}),
+        ("betweenness", {"sources": 16}),
+        ("fastrp", {"embedding_dim": 8}),
+        ("node_similarity", {}),
+    ]:
+        out = estimate(algo, node_count=1000, edge_count=5000, **kw)
+        assert all(v > 0 for v in out.values()), algo
+    assert estimate("knn", node_count=100, dim=8, k=5)["list_state_bytes"] > 0
+    assert estimate("minhash", doc_count=100, num_hashes=8,
+                    bands=4)["signature_bytes"] > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no estimator"):
+        estimate("nope")

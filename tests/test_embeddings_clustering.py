@@ -168,3 +168,48 @@ def test_steiner_tree_connects_targets(spark):
     tree = {(r["src"], r["dst"]): r["weight"]
             for r in steiner_tree(g, 0, [2, 3]).collect()}
     assert tree == {(0, 1): 1.0, (1, 2): 1.0, (1, 3): 1.0}
+
+
+def test_node2vec_distributed_partition_invariant(spark):
+    """The distributed SGNS's fixed summation tree: identical embeddings at
+    ANY pair-partition count (2 vs 8) — the ml/mlp.py determinism contract,
+    now holding for node2vec's default mode."""
+    from graph_data_science_spark.operators.embeddings import node2vec
+
+    edges = edges_from_tuples(
+        spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3),
+                (1, 0), (2, 1), (0, 2), (4, 3), (5, 4), (3, 5)])
+    g = graph_from_edges(spark, edges)
+    a = {r["node_id"]: r["embedding"]
+         for r in node2vec(g, embedding_dim=8, epochs=2, seed=4,
+                           num_partitions=2).collect()}
+    b = {r["node_id"]: r["embedding"]
+         for r in node2vec(g, embedding_dim=8, epochs=2, seed=4,
+                           num_partitions=8).collect()}
+    assert a == b
+
+
+def test_node2vec_distributed_loss_descends(spark):
+    from graph_data_science_spark.operators.embeddings import node2vec
+
+    edges = edges_from_tuples(
+        spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3),
+                (1, 0), (2, 1), (0, 2), (4, 3), (5, 4), (3, 5)])
+    g = graph_from_edges(spark, edges)
+    out = node2vec(g, embedding_dim=8, epochs=5, learning_rate=0.2,
+                   seed=4, num_partitions=4)
+    hist = out.loss_history
+    assert len(hist) == 5
+    assert hist[-1] < hist[0]  # full-batch GD descends the fixed objective
+
+
+def test_node2vec_parity_mode_unchanged(spark):
+    from graph_data_science_spark.operators.embeddings import node2vec
+
+    edges = edges_from_tuples(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+    g = graph_from_edges(spark, edges)
+    a = {r["node_id"]: r["embedding"]
+         for r in node2vec(g, embedding_dim=4, seed=7, mode="parity").collect()}
+    b = {r["node_id"]: r["embedding"]
+         for r in node2vec(g, embedding_dim=4, seed=7, mode="parity").collect()}
+    assert a == b and len(a) == 3

@@ -88,3 +88,34 @@ def test_leiden_matches_louvain_on_clean_structure(spark):
     n_refined = refined.select("comm").distinct().count()
     n_comm = res.communities.select("community").distinct().count()
     assert n_refined == n_comm
+
+
+def test_leiden_gamma_resolution(spark):
+    """Higher γ penalizes volume harder → finer partition (more
+    communities); γ→0 → everything merges (reference LeidenBaseConfig
+    gamma semantics)."""
+    g = _two_triangles(spark)
+    coarse = leiden(g, gamma=0.05, theta=0.0).communities \
+        .select("community").distinct().count()
+    default = leiden(g, gamma=1.0, theta=0.0).communities \
+        .select("community").distinct().count()
+    fine = leiden(g, gamma=50.0, theta=0.0).communities \
+        .select("community").distinct().count()
+    assert coarse <= default <= fine
+    assert fine > default  # γ=50 shatters the triangles
+
+
+def test_leiden_theta_deterministic_and_connected(spark):
+    g = _two_triangles(spark)
+    a = rows_to_dict(leiden(g, theta=0.05, seed=7).communities,
+                     "node_id", "community")
+    b = rows_to_dict(leiden(g, theta=0.05, seed=7).communities,
+                     "node_id", "community")
+    assert a == b
+    # connectivity invariant holds under θ-randomized refinement
+    res = leiden(g, theta=0.05, seed=7)
+    refined = _refine_connectivity(
+        _adjacency(g),
+        res.communities.select("node_id", F.col("community").alias("comm")))
+    assert (refined.select("comm").distinct().count()
+            == res.communities.select("community").distinct().count())

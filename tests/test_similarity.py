@@ -143,3 +143,80 @@ def test_knn_filtered(spark):
     # queries restricted to {0,1}; candidates to {2,3}: nearest allowed
     # target of 0 and 1 is 3 (0.1, 0.9) over 2 (0.0, 1.0)
     assert set(got) == {0, 1} and got[0] == 3 and got[1] == 3
+
+
+def test_nn_descent_recall_vs_exact(vecs):
+    """NN-descent must reach ≥0.9 mean recall@5 against the exact tiled
+    kernel on the 50×16 fixture — the reference's approximate contract
+    (Knn.java:51), not output equality."""
+    from graph_data_science_spark.operators.similarity import knn_nn_descent
+
+    exact = cosine_topk(vecs, k=5).collect()
+    approx = knn_nn_descent(vecs, k=5, max_iterations=8, seed=42).collect()
+    e, a = {}, {}
+    for r in exact:
+        e.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        a.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.9
+    # the planted near-dup pair is mutual-best — NN-descent must find it
+    assert 41 in a[40] and 40 in a[41]
+
+
+def test_nn_descent_deterministic(vecs):
+    from graph_data_science_spark.operators.similarity import knn_nn_descent
+
+    r1 = sorted(map(tuple, knn_nn_descent(vecs, k=3, seed=42).collect()))
+    r2 = sorted(map(tuple, knn_nn_descent(vecs, k=3, seed=42).collect()))
+    assert r1 == r2
+
+
+def test_knn_method_dispatch(spark):
+    from graph_data_science_spark.graph import Graph, edges_from_tuples
+    from graph_data_science_spark.operators.similarity import knn
+
+    nodes = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, 0.9, 0.1), (2, 0.0, 1.0), (3, 0.1, 0.9)],
+        "node_id long, x double, y double")
+    g = Graph(nodes=nodes, edges=edges_from_tuples(spark, [(0, 1)]))
+    got = {r["node1"]: r["node2"]
+           for r in knn(g, ["x", "y"], top_k=1, method="nn_descent").collect()}
+    assert got == {0: 1, 1: 0, 2: 3, 3: 2}
+    with pytest.raises(ValueError, match="filters"):
+        knn(g, ["x", "y"], method="nn_descent", source_node_filter="node_id<2")
+
+
+def test_node_similarity_auto_cap_engages_on_hub(spark):
+    """auto mode: exact when pair volume fits the budget; otherwise the cap
+    is the largest frequency class whose cumulative pair volume fits, so
+    the hub classes emitting the quadratic bulk are pruned."""
+    from graph_data_science_spark.graph import edges_from_tuples, graph_from_edges
+
+    # 30 spokes sharing one hub neighbor → C(30,2)=435 pairs
+    edges = edges_from_tuples(spark, [(i, 999) for i in range(30)])
+    g = graph_from_edges(spark, edges)
+    exact = node_similarity(g, max_neighbor_frequency=None).count()
+    auto_roomy = node_similarity(g).count()  # budget floor 1e7 ≫ 435 → exact
+    assert auto_roomy == exact
+    capped = node_similarity(g, pair_budget=10).count()  # forces the cap
+    assert capped < exact
+
+
+def test_kmeans_sample_init_matches_first_on_request(spark):
+    import numpy as np
+    from graph_data_science_spark.operators.clustering import kmeans
+
+    rng = np.random.RandomState(3)
+    blob_a = [(i, (rng.randn(4) + 5).tolist()) for i in range(20)]
+    blob_b = [(100 + i, (rng.randn(4) - 5).tolist()) for i in range(20)]
+    df = spark.createDataFrame(blob_a + blob_b,
+                               "vec_id long, embedding array<double>")
+    for init in ("sample", "first"):
+        got = {r["id"]: r["cluster"]
+               for r in kmeans(df, k=2, init=init).assignment.collect()}
+        a = {got[i] for i in range(20)}
+        b = {got[100 + i] for i in range(20)}
+        assert len(a) == 1 and len(b) == 1 and a != b, init
+    with pytest.raises(ValueError, match="unknown init"):
+        kmeans(df, k=2, init="nope")
