@@ -1371,6 +1371,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s.read.parquet(f"{d}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
         k=3)
+    from graph_data_science_spark.operators.dedup import embedding_near_duplicates
+    # threshold 0.35 sits in the tail of the synthetic embeddings' cosine
+    # distribution (max pairwise ≈ 0.51 at sf0.01) — non-trivial result set
+    q["embedding_near_duplicates"] = lambda s, d: embedding_near_duplicates(
+        s.read.parquet(f"{d}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        threshold=0.35)
 
     # -- non-SQL-expressible (rows-only checks) ------------------------------
     # leiden: adds WCC-refinement between levels — the refinement's nested
@@ -1431,7 +1438,7 @@ _GATE_FIRST = [
     "minhash_signatures", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash", "embedding_cosine_topk",
     # new or kernel-changed in round 3
-    "astar", "dag_longest_path", "knn_embeddings",
+    "astar", "dag_longest_path", "knn_embeddings", "embedding_near_duplicates",
 ]
 _GATE_LAST = [
     # driver-gated green in round 2 (CORRECTNESS_r02), code unchanged
@@ -1708,5 +1715,13 @@ r AS (SELECT vec_id, neighbor_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
       FROM p)
 SELECT vec_id, neighbor_id, cosine FROM r WHERE rn <= 3"""
+
+    o["embedding_near_duplicates"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             ROUND(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.35"""
 
     return o

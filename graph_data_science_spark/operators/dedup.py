@@ -183,3 +183,69 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .otherwise(F.lit(0))
         ).alias("simhash"))
     )
+
+
+def embedding_near_duplicates(
+    vecs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_shards: int | None = None,
+    query_blocks: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → ``(doc_a, doc_b, cosine)``
+    with ``doc_a < doc_b`` and rounded cosine ≥ ``threshold``.
+
+    The embedding leg of the near-dup ladder (exact hash → MinHash/SimHash
+    text similarity → semantic similarity). EXACT kernel on the same
+    executor-resident tiled GEMM blocks as ``similarity.cosine_topk``
+    (``_pack_side``): every (query-block × index-shard) tile computes one
+    numpy GEMM and emits only the above-threshold ordered pairs — the
+    driver never holds a matrix, and the shuffle carries only surviving
+    pairs. Each unordered pair is evaluated in exactly one emitting tile
+    (the ``qid < iid`` mask; the mirror tile filters it out).
+
+    Scale posture: exact all-pairs is O(n²) dot products — the
+    oracle-able baseline, right up to ~10⁷ vectors. At 10⁹ use
+    ``similarity.knn_nn_descent`` or ``cosine_topk_ivf`` as a candidate
+    prefilter and keep this threshold test as the verifier on the
+    candidate pairs.
+    """
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from graph_data_science_spark.operators.similarity import _pack_side
+
+    spark = vecs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n_shards = int(index_shards or par)
+    n_qblocks = int(query_blocks or par)
+    t = float(threshold)
+
+    index_packed = _pack_side(vecs, id_col, vec_col, n_shards, "_shard").select(
+        "_shard", F.col("_ids").alias("_iids"), F.col("_mat").alias("_imat"))
+    query_packed = _pack_side(vecs, id_col, vec_col, n_qblocks, "_qblock").select(
+        "_qblock", F.col("_ids").alias("_qids"), F.col("_mat").alias("_qmat"))
+    tiles = query_packed.crossJoin(index_packed).repartition(
+        max(n_shards, par), "_qblock", "_shard")
+
+    def gemm(batches):
+        for pdf in batches:
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                qids = pickle.loads(row["_qids"])
+                qmat = pickle.loads(row["_qmat"])
+                iids = pickle.loads(row["_iids"])
+                imat = pickle.loads(row["_imat"])
+                sims = np.round(qmat @ imat.T, 6)
+                qq, ii = np.meshgrid(qids, iids, indexing="ij")
+                mask = (qq < ii) & (sims >= t)
+                if mask.any():
+                    yield pd.DataFrame({
+                        "doc_a": qq[mask], "doc_b": ii[mask],
+                        "cosine": sims[mask]})
+
+    return tiles.mapInPandas(
+        gemm, schema="doc_a long, doc_b long, cosine double")

@@ -108,3 +108,21 @@ def test_simhash_near_dups_close(docs):
 
     assert hamming(got[0], got[3]) <= 12   # near dup: small distance
     assert hamming(got[0], got[6]) >= hamming(got[0], got[3])
+
+
+def test_embedding_near_duplicates(spark):
+    from graph_data_science_spark.operators.dedup import embedding_near_duplicates
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]),
+         (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+         (2, [0.0, 1.0, 0.0]),
+         (3, [0.0, 0.98, 0.2]),     # near-dup of 2
+         (4, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = {(r["doc_a"], r["doc_b"]): r["cosine"]
+           for r in embedding_near_duplicates(vecs, threshold=0.95).collect()}
+    assert set(got) == {(0, 1), (2, 3)}
+    assert all(c >= 0.95 for c in got.values())
+    # each unordered pair appears exactly once (mirror tiles filter)
+    assert len(got) == 2
