@@ -215,16 +215,29 @@ _SPARK_ESTIMATORS = {
 }
 
 
-def estimate(algorithm: str, **kwargs) -> dict:
+def estimate(algorithm: str, executor_memory_bytes: int | None = None,
+             shuffle_partitions: int = 32, headroom: float = 0.6,
+             **kwargs) -> dict:
     """Uniform ``.estimate`` dispatcher (the reference's one-per-proc
     ``*.estimate`` surface, model-catalog style): returns the Spark-engine
     byte model for ``algorithm``; reference single-machine models are
     included under ``reference_bytes`` where the reference publishes
-    constants (WCC, PageRank)."""
+    constants (WCC, PageRank).
+
+    Pass ``executor_memory_bytes`` (+ ``shuffle_partitions``/``headroom``)
+    to fold the ADMISSION CHECK into the result: ``fits_executors`` is True
+    when the largest per-partition slice of the superstep state fits one
+    executor — the go/no-go the reference's estimate-then-run flow gates on
+    (memory-usage/MemoryEstimations.java → MemoryGuard)."""
     if algorithm not in _SPARK_ESTIMATORS:
         raise ValueError(
             f"no estimator for {algorithm!r}; have {sorted(_SPARK_ESTIMATORS)}")
     out = dict(_SPARK_ESTIMATORS[algorithm](**kwargs))
+    if executor_memory_bytes is not None:
+        state = max((v for k, v in out.items()
+                     if isinstance(v, int) and "state" in k), default=0)
+        out["fits_executors"] = fits_executors(
+            state, shuffle_partitions, executor_memory_bytes, headroom)
     if algorithm == "wcc":
         out["reference_bytes"] = wcc_reference_bytes(kwargs["node_count"])
     elif algorithm == "pagerank":

@@ -121,11 +121,19 @@ class Pregel:
         #: resume validates it so a dir from a different algorithm/config is
         #: rejected instead of silently resuming incompatible state
         self.manifest = manifest or {}
-        # "memory" (default): localCheckpoint + unpersist-previous — no disk
-        # I/O on the critical path. "parquet": round-2 scratch-dir round-trip
-        # (kept for A/B measurement; SPARK_GRAFT_TRUNCATION overrides).
+        # "parquet" (default): scratch-dir round-trip — the columnar,
+        # vectorized-rescan truncation. MEASURED at the north-rule scale
+        # (57M edges, local[2], 6-superstep pagerank): parquet 342 s;
+        # localCheckpoint with the deserialized default storage >2× slower
+        # (suite timed out at 90 min); localCheckpoint with SERIALIZED
+        # storage 711 s — still 2× slower, because a row-wise checkpoint
+        # cache deserializes per row on rescan while the parquet scan is a
+        # vectorized columnar batch read inside whole-stage codegen.
+        # "memory" is kept opt-in for small interactive graphs where the
+        # ~0.3 s/superstep write floor dominates (SPARK_GRAFT_TRUNCATION
+        # overrides).
         if truncation is None:
-            truncation = os.environ.get("SPARK_GRAFT_TRUNCATION", "memory")
+            truncation = os.environ.get("SPARK_GRAFT_TRUNCATION", "parquet")
         if truncation not in ("memory", "parquet"):
             raise ValueError(f"unknown truncation {truncation!r}")
         self.truncation = truncation
@@ -156,8 +164,18 @@ class Pregel:
         by :meth:`_retire_prev` once the new state (and any snapshot write
         reading from the old one) is done — without that unpersist, chained
         localCheckpoints pin every superstep's state in storage memory (the
-        measured round-2 0.5→7.4 s/superstep degradation; module doc #1)."""
-        new_df = df.localCheckpoint(eager=True)
+        measured round-2 0.5→7.4 s/superstep degradation; module doc #1).
+
+        Storage level is SERIALIZED memory-and-disk, not Spark's
+        deserialized localCheckpoint default: a multi-million-row vertex
+        state held as deserialized JVM row objects churns the old
+        generation every superstep (measured: the deserialized default
+        more than doubled the local[2] 57M-edge suite vs the round-2
+        parquet scratch); serialized blocks are compact Tungsten bytes the
+        GC scans in O(#blocks), not O(#rows)."""
+        from pyspark.storagelevel import StorageLevel
+        new_df = df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
         analyzed = new_df._jdf.queryExecution().analyzed()
         try:
             rdd = analyzed.rdd()  # LogicalRDD's underlying checkpointed RDD

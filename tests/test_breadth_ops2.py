@@ -131,3 +131,18 @@ def test_estimate_dispatcher_breadth():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no estimator"):
         estimate("nope")
+
+
+def test_estimate_admission_folded():
+    from graph_data_science_spark.operators.estimate import estimate
+    ok = estimate("pagerank", node_count=1000, edge_count=5000,
+                  executor_memory_bytes=8 * 2 ** 30)
+    assert ok["fits_executors"] is True
+    big = estimate("pagerank", node_count=10 ** 12, edge_count=10 ** 13,
+                   executor_memory_bytes=8 * 2 ** 30, shuffle_partitions=32)
+    assert big["fits_executors"] is False
+    # more partitions shrink the per-executor slice back under the bar
+    wide = estimate("pagerank", node_count=10 ** 12, edge_count=10 ** 13,
+                    executor_memory_bytes=8 * 2 ** 30,
+                    shuffle_partitions=200_000)
+    assert wide["fits_executors"] is True
