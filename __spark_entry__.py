@@ -1220,8 +1220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["degree_out"] = lambda s, d: degree_centrality(build_graph(s, d))
     q["degree_in_weighted"] = lambda s, d: degree_centrality(
         build_graph(s, d), orientation="REVERSE", weighted=True)
+    # exact mode pinned: the oracle computes exact Jaccard, and the library
+    # default ("auto") may engage the hot-neighbor cap at gate scale
     q["node_similarity"] = lambda s, d: node_similarity(
-        _cust_supp_graph(s, d), top_k=5)
+        _cust_supp_graph(s, d), top_k=5, max_neighbor_frequency=None)
 
     # -- centrality / community metrics / walking -----------------------------
     from graph_data_science_spark.operators.community_metrics import (

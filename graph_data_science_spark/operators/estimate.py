@@ -196,22 +196,294 @@ def minhash_spark_bytes(doc_count: int, num_hashes: int, bands: int) -> dict:
     }
 
 
+def degree_spark_bytes(node_count: int, edge_count: int) -> dict:
+    return {
+        "state_bytes": _state(node_count, 2),
+        "shuffle_bytes": _state(edge_count, 2),  # one partial-agg pass
+    }
+
+
+def msbfs_spark_bytes(node_count: int, edge_count: int,
+                      sources: int | None = None,
+                      diameter_hint: int = 20) -> dict:
+    """Closeness / harmonic / allShortestPaths: lane-column MSBFS — state is
+    O(reached (source, node) pairs), the inherent all-pairs bound."""
+    s = sources or node_count
+    return {
+        "state_bytes_upper": _state(s * node_count, 3),  # s, v, dist
+        "message_bytes_per_level_upper": _state(s * edge_count, 2),
+        "levels": diameter_hint,
+    }
+
+
+def celf_spark_bytes(node_count: int, edge_count: int, seed_set_size: int = 3,
+                     mc_rounds: int = 8, candidate_pool: int = 64) -> dict:
+    return {
+        "cascade_state_bytes": _state(mc_rounds * node_count, 3),  # lane BFS
+        "message_bytes_per_level": _state(mc_rounds * edge_count, 2),
+        "driver_rows_per_rank": candidate_pool,  # only gains reach the driver
+    }
+
+
+def community_metrics_spark_bytes(node_count: int, edge_count: int) -> dict:
+    """modularity / conductance: two E-sized partial-agg passes."""
+    return {
+        "state_bytes": _state(node_count, 2),
+        "shuffle_bytes": _state(edge_count, 3),
+    }
+
+
+def coloring_spark_bytes(node_count: int, edge_count: int) -> dict:
+    """k1coloring / maxkcut: per-round conflict-resolution messages."""
+    return {
+        "state_bytes": _state(node_count, 3),
+        "message_bytes_per_round": _state(2 * edge_count, 2),
+        "cached_edges_bytes": _state(2 * edge_count, 2),
+    }
+
+
+def kmeans_spark_bytes(vector_count: int, dim: int, k: int) -> dict:
+    return {
+        "state_bytes": _state(vector_count, dim + 1),
+        "centroid_broadcast_bytes": int(k * dim * 8),  # per iteration
+        "partial_agg_bytes": _state(k, dim + 1),       # map-side combined
+    }
+
+
+def hashgnn_spark_bytes(node_count: int, edge_count: int,
+                        embedding_bits: int = 64, iterations: int = 2) -> dict:
+    words = max(1, embedding_bits // 64)
+    return {
+        "state_bytes": _state(node_count, words + 1),
+        "message_bytes_per_iteration": _state(edge_count, words + 1),
+        "iterations": iterations,
+    }
+
+
+def graphsage_spark_bytes(node_count: int, edge_count: int, dim: int,
+                          layers: int = 2) -> dict:
+    return {
+        "feature_state_bytes": _state(node_count, dim + 1),
+        "gather_bytes_per_layer": _state(edge_count, dim + 1),
+        "layers": layers,
+    }
+
+
+def random_walks_spark_bytes(node_count: int, edge_count: int,
+                             walks_per_node: int = 2,
+                             walk_length: int = 4) -> dict:
+    return {
+        "walk_state_bytes": _state(node_count * walks_per_node, walk_length + 2),
+        "message_bytes_per_step": _state(node_count * walks_per_node, 3),
+        "cached_edges_bytes": _state(edge_count, 3),
+    }
+
+
+def leiden_spark_bytes(node_count: int, edge_count: int) -> dict:
+    out = dict(louvain_spark_bytes(node_count, edge_count))
+    # γ/θ refinement adds a WCC pass per level over intra-community edges
+    out["refinement_bytes_per_level"] = _state(node_count, 3)
+    return out
+
+
+def dijkstra_spark_bytes(node_count: int, edge_count: int) -> dict:
+    out = dict(sssp_spark_bytes(node_count, edge_count))
+    # path reconstruction: predecessor chain walk, one row per path node
+    out["path_bytes_upper"] = _state(node_count, 2)
+    return out
+
+
+def spanning_tree_spark_bytes(node_count: int, edge_count: int) -> dict:
+    """Borůvka: O(log n) rounds of min-edge selection + component merge."""
+    import math
+    return {
+        "state_bytes": _state(node_count, 3),
+        "message_bytes_per_round": _state(2 * edge_count, 3),
+        "rounds_upper": max(1, math.ceil(math.log2(max(2, node_count)))),
+    }
+
+
+def collapse_path_spark_bytes(node_count: int, edge_count: int,
+                              length: int = 2) -> dict:
+    """k-hop self-join: output ≤ E · avg_deg^(k-1); degree cap bounds it."""
+    avg_deg = max(1.0, edge_count / max(1, node_count))
+    return {
+        "cached_edges_bytes": _state(edge_count, 2),
+        "output_bytes_upper": int(_state(edge_count, 2) * avg_deg ** (length - 1)),
+    }
+
+
+def scale_properties_spark_bytes(row_count: int, n_props: int = 1) -> dict:
+    return {
+        "state_bytes": _state(row_count, n_props + 1),
+        "stats_broadcast_bytes": int(n_props * 6 * 8),  # min/max/mean/std/p50...
+    }
+
+
+def text_scan_spark_bytes(doc_count: int, avg_doc_bytes: int = 4096) -> dict:
+    """token_count / quality_score / language_id / fingerprint: one linear
+    scan, no shuffle of document bodies (aggregates only)."""
+    return {
+        "scan_bytes": int(doc_count * avg_doc_bytes),
+        "state_bytes": _state(doc_count, 3),
+    }
+
+
+def exact_dedup_spark_bytes(doc_count: int) -> dict:
+    return {
+        "state_bytes": _state(doc_count, 2),       # (hash, doc_id)
+        "shuffle_bytes": _state(doc_count, 2),
+    }
+
+
+def simhash_spark_bytes(doc_count: int, avg_doc_bytes: int = 4096,
+                        bits: int = 64) -> dict:
+    return {
+        "scan_bytes": int(doc_count * avg_doc_bytes),
+        "state_bytes": _state(doc_count, max(1, bits // 64) + 1),
+    }
+
+
+def ngram_jaccard_spark_bytes(doc_count: int, avg_shingles: int = 64,
+                              hot_shingle_cap: int | None = None) -> dict:
+    cap = hot_shingle_cap or int((doc_count * avg_shingles) ** 0.5) + 1
+    return {
+        "shingle_bytes": _state(doc_count * avg_shingles, 2),
+        "pair_shuffle_bytes_upper": _state(doc_count * avg_shingles * cap // 2, 3),
+    }
+
+
+def cosine_topk_spark_bytes(vector_count: int, dim: int, k: int,
+                            tile: int = 4096) -> dict:
+    """Tiled GEMM: executor-resident tile pairs, partial top-k per tile."""
+    return {
+        "tile_bytes": int(tile * dim * 8 * 2),     # one tile pair in memory
+        "partial_topk_bytes": _state(vector_count * k, 3),
+        "pair_compute": vector_count * vector_count,  # dots, not bytes
+    }
+
+
+def cosine_topk_ivf_spark_bytes(vector_count: int, dim: int, k: int,
+                                n_clusters: int = 256,
+                                n_probe: int = 8) -> dict:
+    per_bucket = max(1, vector_count // max(1, n_clusters))
+    return {
+        "centroid_broadcast_bytes": int(n_clusters * dim * 8),
+        "probe_join_bytes": _state(vector_count * n_probe, dim + 2),
+        "pair_compute": vector_count * n_probe * per_bucket,
+    }
+
+
+def sessionize_spark_bytes(event_count: int, user_count: int) -> dict:
+    return {
+        "state_bytes": _state(user_count, 4),  # open session per key (bounded)
+        "shuffle_bytes": _state(event_count, 3),
+    }
+
+
+def windowed_counts_spark_bytes(event_count: int, windows: int,
+                                keys: int) -> dict:
+    return {
+        "state_bytes": _state(windows * keys, 3),
+        "shuffle_bytes": _state(event_count, 2),  # map-side pre-aggregated
+    }
+
+
 _SPARK_ESTIMATORS = {
     "wcc": wcc_spark_bytes,
     "pagerank": pagerank_spark_bytes,
+    "article_rank": pagerank_spark_bytes,     # same delta-push state/shuffle
+    "eigenvector": pagerank_spark_bytes,
     "label_propagation": label_propagation_spark_bytes,
     "triangle_count": triangle_count_spark_bytes,
     "louvain": louvain_spark_bytes,
+    "modularity_optimization": louvain_spark_bytes,
+    "leiden": leiden_spark_bytes,
     "bfs": bfs_spark_bytes,
+    "dfs": bfs_spark_bytes,                   # same frontier state shape
     "sssp": sssp_spark_bytes,
+    "dijkstra": dijkstra_spark_bytes,
+    "astar": dijkstra_spark_bytes,
+    "yens": dijkstra_spark_bytes,             # K sequential dijkstra passes
+    "dag_levels": bfs_spark_bytes,
+    "dag_longest_path": sssp_spark_bytes,     # max-plus relaxation, same state
     "betweenness": betweenness_spark_bytes,
+    "closeness": msbfs_spark_bytes,
+    "harmonic": msbfs_spark_bytes,
+    "all_shortest_paths": msbfs_spark_bytes,
+    "celf": celf_spark_bytes,
+    "degree": degree_spark_bytes,
+    "modularity": community_metrics_spark_bytes,
+    "conductance": community_metrics_spark_bytes,
+    "k1coloring": coloring_spark_bytes,
+    "maxkcut": coloring_spark_bytes,
+    "kmeans": kmeans_spark_bytes,
+    "hashgnn": hashgnn_spark_bytes,
+    "graphsage": graphsage_spark_bytes,
     "fastrp": fastrp_spark_bytes,
+    "random_walks": random_walks_spark_bytes,
+    "node2vec": random_walks_spark_bytes,     # walks dominate; SGNS is O(n·d)
     "node_similarity": node_similarity_spark_bytes,
     "knn": knn_spark_bytes,
     "k_core": kcore_spark_bytes,
     "scc": scc_spark_bytes,
     "hits": hits_spark_bytes,
     "minhash": minhash_spark_bytes,
+    "spanning_tree": spanning_tree_spark_bytes,
+    "collapse_path": collapse_path_spark_bytes,
+    "scale_properties": scale_properties_spark_bytes,
+    "text_scan": text_scan_spark_bytes,
+    "exact_dedup": exact_dedup_spark_bytes,
+    "simhash": simhash_spark_bytes,
+    "ngram_jaccard": ngram_jaccard_spark_bytes,
+    "cosine_topk": cosine_topk_spark_bytes,
+    "cosine_topk_ivf": cosine_topk_ivf_spark_bytes,
+    "sessionize": sessionize_spark_bytes,
+    "windowed_counts": windowed_counts_spark_bytes,
+}
+
+#: every __spark_entry__.queries() key → its estimator family; the breadth
+#: contract the reference meets with one memoryEstimation() per proc
+#: (memory-usage/.../MemoryEstimations.java) — tested for full coverage
+ESTIMATOR_FOR_QUERY = {
+    "pagerank": "pagerank", "pagerank_weighted": "pagerank",
+    "article_rank": "article_rank", "eigenvector": "eigenvector",
+    "wcc": "wcc", "wcc_threshold": "wcc",
+    "label_propagation": "label_propagation",
+    "label_propagation_weighted": "label_propagation",
+    "label_propagation_gds_order": "label_propagation",
+    "triangle_count": "triangle_count", "triangle_global": "triangle_count",
+    "local_clustering_coefficient": "triangle_count",
+    "degree_out": "degree", "degree_in_weighted": "degree",
+    "node_similarity": "node_similarity",
+    "louvain": "louvain", "modularity_optimization": "modularity_optimization",
+    "leiden": "leiden", "hits": "hits",
+    "modularity_nation": "modularity", "conductance_nation": "conductance",
+    "collapse_path_2": "collapse_path",
+    "astar": "astar", "dag_longest_path": "dag_longest_path",
+    "betweenness": "betweenness", "closeness": "closeness",
+    "closeness_wf": "closeness", "harmonic": "harmonic",
+    "all_shortest_paths": "all_shortest_paths",
+    "shortest_path_dijkstra": "dijkstra", "yens_k3": "yens",
+    "scc": "scc", "fastrp": "fastrp",
+    "random_walks": "random_walks", "random_walks_biased": "random_walks",
+    "kmeans": "kmeans", "k1coloring": "k1coloring", "maxkcut": "maxkcut",
+    "hashgnn": "hashgnn", "graphsage": "graphsage", "celf": "celf",
+    "bfs": "bfs", "dfs": "dfs", "sssp_weighted": "sssp",
+    "dag_levels": "dag_levels", "k_core_3": "k_core", "coreness": "k_core",
+    "scale_minmax": "scale_properties",
+    "events_sessionize": "sessionize",
+    "events_windowed_counts": "windowed_counts",
+    "token_count": "text_scan", "token_count_bpe": "text_scan",
+    "quality_score": "text_scan", "language_id": "text_scan",
+    "fingerprint": "text_scan", "exact_duplicates": "exact_dedup",
+    "minhash_signatures": "minhash", "minhash_lsh_pairs": "minhash",
+    "ngram_jaccard_pairs": "ngram_jaccard", "simhash": "simhash",
+    "embedding_cosine_topk": "cosine_topk",
+    "embedding_near_duplicates": "cosine_topk",
+    "embedding_cosine_topk_ivf": "cosine_topk_ivf",
+    "knn_embeddings": "knn",
+    "spanning_tree": "spanning_tree", "sample_cnarw": "random_walks",
 }
 
 

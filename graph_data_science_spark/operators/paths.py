@@ -158,7 +158,10 @@ def dijkstra(graph: Graph, source: int, weighted: bool = True,
             F.coalesce(better, F.lit(False)).cast("int").alias(ACTIVE_COL),
         )
 
-    driver = Pregel(spark, max_iterations=max_iterations)
+    # fuse=1: explored_states (Σ active per superstep) is part of this
+    # operator's contract — A*'s pruning evidence is measured against it,
+    # and fused blocks would only observe block-final counts
+    driver = Pregel(spark, max_iterations=max_iterations, fuse=1)
     res = driver.run(state, step)
 
     final = res.state.where(F.col("dist") < F.lit(_INF))
@@ -296,6 +299,10 @@ def astar(graph: Graph, source: int, target: int, weighted: bool = True,
                 F.when(F.col("node_id") == tgt_id, F.col("dist"))),
             "improved": F.sum("_improved"),
         },
+        # steers each superstep off the previous one's best_target aggregate
+        # (branch-and-bound) — superstep fusion would compose steps before
+        # that aggregate exists
+        fuse=1,
         manifest={"algorithm": "astar", "source": src_id, "target": tgt_id})
 
     def step(st: DataFrame, superstep: int) -> DataFrame:

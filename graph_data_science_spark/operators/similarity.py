@@ -583,6 +583,9 @@ def knn_nn_descent(
 
     driver = Pregel(
         spark, max_iterations=int(max_iterations),
+        # reads the previous superstep's `active` count for the reference's
+        # delta convergence rule — needs per-superstep materialization
+        fuse=1,
         manifest={"algorithm": "knn_nn_descent", "k": kk, "seed": int(seed)})
 
     def step(st: DataFrame, superstep: int) -> DataFrame:

@@ -111,9 +111,29 @@ class Pregel:
         track_partition_rows: bool | None = None,
         manifest: dict | None = None,
         truncation: str | None = None,
+        fuse: int | None = None,
     ):
         self.spark = spark
         self.max_iterations = max_iterations
+        # Superstep FUSION (module doc #4): run `fuse` supersteps as ONE lazy
+        # Catalyst plan and materialize/truncate only at block ends. The
+        # per-superstep job barrier + scratch round-trip is the engine's
+        # non-scaling cost component (it is the same wall-clock at every
+        # parallelism level), so dividing it by `fuse` is what moves the
+        # two-cluster-size efficiency, not just the absolute time.
+        # Semantics: convergence is checked on block-final state, so a
+        # tolerance-converging run may execute up to fuse-1 supersteps past
+        # first convergence — identical results for fixpoint-stable step
+        # functions (all shipped vote-to-halt algorithms: an empty frontier
+        # makes step_fn the identity). Algorithms that STEER the next
+        # superstep off the previous superstep's aggregates
+        # (driver.metrics_so_far — A*, NN-descent) must pass fuse=1.
+        # Blocks never cross max_iterations or a snapshot boundary, so
+        # fixed-iteration runs execute exactly max_iterations supersteps and
+        # checkpoint cadence/resume points are unchanged.
+        if fuse is None:
+            fuse = int(os.environ.get("SPARK_GRAFT_FUSE", "3"))
+        self.fuse = max(1, int(fuse))
         self.checkpoint_dir = checkpoint_dir
         self.snapshot_interval = max(1, snapshot_interval)
         self.extra_metrics = extra_metrics or {}
@@ -138,6 +158,7 @@ class Pregel:
             raise ValueError(f"unknown truncation {truncation!r}")
         self.truncation = truncation
         self._tmp_dir: str | None = None
+        self._slot = 0  # next scratch slot; alternates per truncation call
         self._prev_ckpt_rdd = None  # JVM RDD handle of the previous superstep
         self._writer = None  # in-flight async snapshot writer thread
         # per-partition lineage rows cost one extra tiny job per snapshot;
@@ -148,12 +169,17 @@ class Pregel:
 
     def _scratch_truncate(self, df: DataFrame, superstep: int) -> DataFrame:
         """Plan truncation via parquet round-trip into a temp scratch dir,
-        alternating two slots so only the last two supersteps occupy disk.
+        alternating two slots so only the last two materializations occupy
+        disk. Slots alternate by CALL, not by superstep parity: with fused
+        blocks (clipped at max_iterations / snapshot boundaries) consecutive
+        block-end supersteps can share parity, and superstep-parity slots
+        would then overwrite the very files the in-flight job is reading.
         (truncation="parquet" path; see module doc #1.)"""
         import tempfile
         if self._tmp_dir is None:
             self._tmp_dir = tempfile.mkdtemp(prefix="gds_pregel_")
-        path = os.path.join(self._tmp_dir, f"slot{superstep % 2}")
+        path = os.path.join(self._tmp_dir, f"slot{self._slot}")
+        self._slot ^= 1
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
@@ -319,17 +345,28 @@ class Pregel:
         superstep = start_step
         while not converged and superstep < self.max_iterations:
             t0 = time.monotonic()
-            new_state = step_fn(state, superstep)
+            # block size: fuse, clipped to max_iterations and to the next
+            # snapshot boundary (snapshots must land at exactly the same
+            # supersteps as an unfused run, so resume points are identical)
+            block = min(self.fuse, self.max_iterations - superstep)
+            if self.checkpoint_dir:
+                to_boundary = self.snapshot_interval - (
+                    superstep % self.snapshot_interval)
+                block = min(block, to_boundary)
+            new_state = state
+            for j in range(block):
+                new_state = step_fn(new_state, superstep + j)
+            block_end = superstep + block - 1
             # fold the convergence/metrics aggregation INTO the materializing
-            # job (Observation API): one Spark job per superstep where
-            # round 1 ran two (materialize + separate agg)
-            obs = Observation(f"superstep_{superstep}")
+            # job (Observation API): one Spark job per block where
+            # round 1 ran two per superstep (materialize + separate agg)
+            obs = Observation(f"superstep_{block_end}")
             aggs = [
                 F.sum(F.col(ACTIVE_COL).cast("long")).alias("active"),
                 F.count(F.lit(1)).alias("rows"),
             ] + [expr.alias(name) for name, expr in self.extra_metrics.items()]
             new_state = new_state.observe(obs, *aggs)
-            do_snapshot = self.checkpoint_dir and (superstep + 1) % self.snapshot_interval == 0
+            do_snapshot = self.checkpoint_dir and (block_end + 1) % self.snapshot_interval == 0
             new_rdd = None
             if self.truncation == "memory":
                 # critical path: in-memory materialization only; any snapshot
@@ -337,10 +374,10 @@ class Pregel:
                 new_state, new_rdd = self._mem_truncate(new_state)
             elif do_snapshot:
                 # sync parquet snapshot (truncation="parquet" legacy path)
-                new_state.write.mode("overwrite").parquet(self._state_path(superstep))
-                new_state = self.spark.read.parquet(self._state_path(superstep))
+                new_state.write.mode("overwrite").parquet(self._state_path(block_end))
+                new_state = self.spark.read.parquet(self._state_path(block_end))
             else:
-                new_state = self._scratch_truncate(new_state, superstep)
+                new_state = self._scratch_truncate(new_state, block_end)
             row = dict(obs.get)
             wall_ms = (time.monotonic() - t0) * 1000.0
             if self.truncation == "memory":
@@ -350,11 +387,12 @@ class Pregel:
                 self._retire_prev(new_rdd)
                 if do_snapshot:
                     self._writer = _SnapshotWriter(
-                        new_state, self._state_path(superstep))
+                        new_state, self._state_path(block_end))
                     self._writer.start()
             active = row.pop("active") or 0
             rec = {
-                "superstep": superstep,
+                "superstep": block_end,
+                "fused": block,
                 "wall_ms": round(wall_ms, 3),
                 "active": int(active),
                 "rows": int(row.pop("rows")),
@@ -377,7 +415,7 @@ class Pregel:
                 with open(self._metrics_path(), "a") as fh:
                     fh.write(json.dumps(rec) + "\n")
             metrics.append(rec)
-            superstep += 1
+            superstep += block
 
         # drain the in-flight snapshot writer (memory mode) before returning
         self._join_writer()

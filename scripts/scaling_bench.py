@@ -31,7 +31,7 @@ INPUT = "/tmp/gds_scaling/edges.parquet"
 
 def _run(cmd: list[str], env: dict | None = None) -> str:
     out = subprocess.run(cmd, env=env or dict(os.environ), capture_output=True,
-                         text=True, timeout=5400)
+                         text=True, timeout=7200)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise SystemExit(f"failed: {cmd}")
@@ -66,8 +66,12 @@ def main() -> None:
     n_nodes = sys.argv[3] if len(sys.argv) > 3 else "2000000"
     avg_deg = sys.argv[4] if len(sys.argv) > 4 else "8"
 
-    _run([sys.executable, os.path.join(REPO, "scripts", "gen_scaling_input.py"),
-          INPUT, n_nodes, avg_deg])
+    # the generator is deterministic (seed 42), so an existing complete
+    # output for the same size is byte-equivalent — reuse it
+    if not os.path.exists(os.path.join(INPUT, "_SUCCESS")):
+        _run([sys.executable,
+              os.path.join(REPO, "scripts", "gen_scaling_input.py"),
+              INPUT, n_nodes, avg_deg])
 
     small = run_scale_job(n_small)
     big = run_scale_job(n_big)

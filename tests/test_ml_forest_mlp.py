@@ -74,6 +74,27 @@ def test_mlp_deterministic_across_partitionings(spark, xor_df):
     assert (m1.w1, m1.w2, m1.history) == (m2.w1, m2.w2, m2.history)
 
 
+def test_mlp_deterministic_with_multibatch_partitions(spark, xor_df):
+    """A partition larger than arrow.maxRecordsPerBatch arrives as SEVERAL
+    Arrow batches whose order depends on shuffle fetch order; the gradient
+    must not depend on that order (partial() concatenates all batches and
+    sorts the whole partition by id once). With 200 rows in 2 partitions and
+    a 16-row batch cap, every partition spans ~7 batches."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "16")
+        m1 = mlp_fit(xor_df, hidden=4, iterations=5, n_partitions=2, seed=3)
+        m2 = mlp_fit(xor_df.repartition(13), hidden=4, iterations=5,
+                     n_partitions=2, seed=3)
+    finally:
+        spark.conf.set(key, old)
+    # single-batch reference: same data, same partitioning, no batch cap
+    m3 = mlp_fit(xor_df, hidden=4, iterations=5, n_partitions=2, seed=3)
+    assert (m1.w1, m1.w2, m1.history) == (m2.w1, m2.w2, m2.history)
+    assert (m1.w1, m1.w2, m1.history) == (m3.w1, m3.w2, m3.history)
+
+
 def test_pipeline_classifier_options(spark):
     from graph_data_science_spark.graph import (
         edges_from_tuples, graph_from_edges)
