@@ -45,13 +45,15 @@ and each self-loop ONCE with doubled weight, so that
 Spark plan per sub-round: volumes = one partial-agg sum over the assignment;
 candidate tallies = adj ⋈ assignment (shuffle-hash on the state side) + one
 partial-agg sum; argmax per node = one more partial-agg max(struct) — no
-windows, no Python in the loop. Each sub-round's output is truncated via a
+windows, no Python in the loop. Sub-rounds are FUSED per iteration into one
+lazy plan (see _local_move) and each block's output is truncated via a
 parquet-round-trip scratch snapshot (same discipline as plans/pregel —
 chained localCheckpoint is 10× slower here, see its module doc #1).
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
@@ -110,12 +112,21 @@ def _adjacency(graph: Graph, weighted: bool = True) -> DataFrame:
 
 
 def _sub_round(adj: DataFrame, comm: DataFrame, k: DataFrame, m: float,
-               p: int, n_classes: int, scratch: _Scratch,
-               gamma: float = 1.0) -> tuple[DataFrame, int]:
-    """One synchronous move pass for class ``node_id % n_classes == p``.
-    ``gamma`` is the Leiden resolution (LeidenBaseConfig.java:38; γ=1 =
-    classic modularity): it scales the expected-edges term of the gain.
-    Returns (new assignment, #moves)."""
+               p: int, n_classes: int,
+               gamma: float = 1.0) -> DataFrame:
+    """One synchronous move pass for class ``node_id % n_classes == p``,
+    as a LAZY plan: ``comm`` (node_id, comm, _mvd) → same schema, with
+    ``_mvd`` ORed with this pass's per-node moved bit. ``gamma`` is the
+    Leiden resolution (LeidenBaseConfig.java:38; γ=1 = classic modularity):
+    it scales the expected-edges term of the gain.
+
+    The caller chains sub-rounds and truncates/observes at block ends
+    (plans/pregel.py fusion discipline). Chaining is safe because each
+    reference to the previous sub-round's output re-executes only its
+    post-shuffle map work — the aggregations below it end in identical
+    exchanges that Spark's ReuseExchange dedupes — and the reference count
+    per level (~5) keeps Catalyst's tree-walk cost bounded for one-iteration
+    blocks (see _local_move)."""
     vol = (comm.join(k, "node_id")
            .groupBy("comm").agg(F.sum("k").alias("vol")))
     movers = comm.where(F.pmod(F.col("node_id"), F.lit(n_classes)) == p)
@@ -157,36 +168,55 @@ def _sub_round(adj: DataFrame, comm: DataFrame, k: DataFrame, m: float,
         F.when(F.col("b.s") > F.col("cur_s"), F.col("b.C"))
         .otherwise(F.col("cur")).alias("_new"),
     )
-    merged = comm.join(shuffle_hash(upd), "node_id", "left").select(
+    return comm.join(shuffle_hash(upd), "node_id", "left").select(
         "node_id",
         F.coalesce(F.col("_new"), F.col("comm")).alias("comm"),
-        (F.coalesce(F.col("_new"), F.col("comm")) != F.col("comm"))
-        .cast("int").alias("_moved"),
+        F.greatest(
+            F.col("_mvd"),
+            (F.coalesce(F.col("_new"), F.col("comm")) != F.col("comm"))
+            .cast("int")).alias("_mvd"),
     )
-    # move count rides the snapshot write (Observation) — one job/sub-round
-    from pyspark.sql import Observation
-    obs = Observation()
-    merged = merged.observe(obs, F.sum("_moved").alias("moves"))
-    merged = scratch.truncate(merged, "comm")
-    moves = obs.get["moves"] or 0
-    return merged.select("node_id", "comm"), int(moves)
 
 
 def _local_move(adj, sup_nodes, k, m, max_iterations, n_classes, scratch,
-                gamma: float = 1.0):
+                gamma: float = 1.0, fuse: int | None = None):
     """Run class-restricted sync local moving to convergence on one level.
-    Returns (assignment, total_moves, iterations_ran)."""
+    Returns (assignment, total_moves, iterations_ran).
+
+    Sub-round FUSION (plans/pregel.py module doc #4, docs/SCALE_NOTES.md
+    §10): whole iterations (``n_classes`` sub-rounds each) are chained as
+    one lazy plan and truncated/observed only at block ends, dividing the
+    per-sub-round job barrier + scratch round-trip — the non-scaling cost
+    component, and at correctness scale the ~1 s/job floor that dominates
+    the fixed 2×4×2 schedule — by the block size. Blocks are whole
+    iterations: one iteration per block by default (each sub-round
+    references its predecessor ~5×, so Catalyst's tree walk grows
+    ~5^depth; one iteration ≈ 25 instances is cheap, three ≈ 15k is not).
+    Convergence checks the block-accumulated per-node moved bit: a strict
+    improvement rule makes a converged assignment a fixpoint, so a block
+    straddling convergence runs identity sub-rounds and the result is
+    bit-identical to the unfused schedule."""
+    if fuse is None:
+        fuse = max(1, int(os.environ.get("SPARK_GRAFT_FUSE", "3")) // max(1, n_classes))
     comm = sup_nodes.select("node_id", F.col("node_id").alias("comm"))
     comm = scratch.truncate(comm, "comm")
+    from pyspark.sql import Observation
     total = 0
     it = 0
-    for it in range(1, max_iterations + 1):
-        iter_moves = 0
-        for p in range(n_classes):
-            comm, moved = _sub_round(adj, comm, k, m, p, n_classes, scratch, gamma)
-            iter_moves += moved
-        total += iter_moves
-        if iter_moves == 0:
+    while it < max_iterations:
+        blk = min(int(fuse), max_iterations - it)
+        new = comm.select("node_id", "comm", F.lit(0).cast("int").alias("_mvd"))
+        for _ in range(blk):
+            for p in range(n_classes):
+                new = _sub_round(adj, new, k, m, p, n_classes, gamma)
+        obs = Observation()
+        new = new.observe(obs, F.sum("_mvd").alias("moves"))
+        new = scratch.truncate(new, "comm")
+        moves = int(obs.get["moves"] or 0)
+        comm = new.select("node_id", "comm")
+        total += moves
+        it += blk
+        if moves == 0:
             break
     return comm, total, it
 

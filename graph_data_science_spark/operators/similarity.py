@@ -14,9 +14,10 @@ array<float/double>, label):
   Python. For corpus×corpus self-join at 100 TB you'd tile both sides;
   the kernel is written per-batch so tiling = repartitioning.
 - ``cosine_topk_ivf``: IVF-style approximate variant — deterministic
-  centroids (the first ``n_clusters`` vectors by id), assign every vector to
-  its nearest centroid, search only within the query's ``n_probe`` closest
-  clusters. Same GEMM kernel per (cluster, batch).
+  centroids (a seeded hash-u01 sample of the id space, robust to sorted
+  id layouts), assign every vector to its nearest centroid, search only
+  within the query's ``n_probe`` closest clusters. Same GEMM kernel per
+  (cluster, batch).
 """
 
 from __future__ import annotations
