@@ -1439,15 +1439,21 @@ _GATE_FIRST = [
     # missed by the round-2 gate cap (positions 51-55)
     "minhash_signatures", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash", "embedding_cosine_topk",
-    # new or kernel-changed in round 3
+    # new or kernel-changed in round 3 (kmeans: seeded-sample init;
+    # ivf: seeded-sample centroids)
     "astar", "dag_longest_path", "knn_embeddings", "embedding_near_duplicates",
+    "kmeans", "embedding_cosine_topk_ivf",
 ]
 _GATE_LAST = [
-    # driver-gated green in round 2 (CORRECTNESS_r02), code unchanged
-    "dag_levels", "k_core_3", "coreness", "scale_minmax",
-    "events_sessionize", "events_windowed_counts",
+    # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
+    # untouched this round (not just the entry — dag_levels/k_core/coreness
+    # ride paths.py / plans/pregel.py, which round 3 changed, so they moved
+    # back inside the gate). Sized so first+mid == the 50-entry gate cap.
+    "scale_minmax", "events_sessionize", "events_windowed_counts",
     "token_count", "token_count_bpe", "quality_score", "language_id",
     "fingerprint", "exact_duplicates",
+    "hits", "modularity_nation", "conductance_nation", "collapse_path_2",
+    "triangle_global", "local_clustering_coefficient", "degree_out",
 ]
 
 
