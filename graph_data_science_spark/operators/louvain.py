@@ -76,9 +76,15 @@ class _Scratch:
 
     def truncate(self, df: DataFrame, stream: str) -> DataFrame:
         import os
+
+        from graph_data_science_spark.plans.pregel import no_aqe
         c = self._n.get(stream, 0)
         path = os.path.join(self.dir, f"{stream}-{c % 2}")
-        df.write.mode("overwrite").parquet(path)
+        # AQE off: fused sub-round chains rely on static ReuseExchange
+        # dedup, which AQE's runtime stage reuse breaks beyond depth ~2
+        # (plans/pregel.no_aqe docstring; docs/SCALE_NOTES.md §11)
+        with no_aqe(self.spark):
+            df.write.mode("overwrite").parquet(path)
         self._n[stream] = c + 1
         return self.spark.read.parquet(path)
 

@@ -18,7 +18,7 @@ Spark-specific disciplines the reference doesn't need (SURVEY §4):
    degradation: each eager checkpoint leaves its MEMORY_AND_DISK RDD
    persisted FOREVER (nothing unpersists it), so a 20-superstep loop pins 20
    copies of the vertex state — the "hidden planning state" was storage/GC
-   pressure, not Catalyst. ``truncation="memory"`` (the default) therefore
+   pressure, not Catalyst. ``truncation="memory"`` therefore
    localCheckpoints each superstep AND unpersists the previous superstep's
    checkpoint RDD once the new state is materialized: flat plans, no disk
    I/O, at most two superstep states resident (the same bound as the
@@ -62,6 +62,35 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 ACTIVE_COL = "_active"
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def no_aqe(spark: SparkSession):
+    """Disable adaptive query execution for the queries run inside.
+
+    Fused superstep blocks reference each sub-step's output 2-5× (join side
+    + message branch). The static ``ReuseExchange`` rule dedupes those
+    references perfectly — measured per-superstep cost *falls* with block
+    depth (4.9 s → 0.83 s at depth 5 on a 2M-edge WCC step). Under AQE,
+    runtime query-stage reuse stops matching beyond depth ~2 and the chain
+    re-executes its prefix per reference: depth 6 measured ~5× the work
+    (docs/SCALE_NOTES.md §11). AQE's wins (skew join, partition coalescing)
+    matter for the one-shot relational operators, not for the fixed-layout
+    superstep loop, so the loop's materializing queries run with AQE off
+    and the session default stays on for everything else.
+
+    The flag is read per query execution, so toggling around the single
+    materializing action is safe; restored in a ``finally``."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 class _SnapshotWriter:
@@ -180,7 +209,8 @@ class Pregel:
             self._tmp_dir = tempfile.mkdtemp(prefix="gds_pregel_")
         path = os.path.join(self._tmp_dir, f"slot{self._slot}")
         self._slot ^= 1
-        df.write.mode("overwrite").parquet(path)
+        with no_aqe(self.spark):
+            df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
     def _mem_truncate(self, df: DataFrame) -> DataFrame:
@@ -200,8 +230,9 @@ class Pregel:
         parquet scratch); serialized blocks are compact Tungsten bytes the
         GC scans in O(#blocks), not O(#rows)."""
         from pyspark.storagelevel import StorageLevel
-        new_df = df.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        with no_aqe(df.sparkSession):
+            new_df = df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
         analyzed = new_df._jdf.queryExecution().analyzed()
         try:
             rdd = analyzed.rdd()  # LogicalRDD's underlying checkpointed RDD
@@ -374,7 +405,8 @@ class Pregel:
                 new_state, new_rdd = self._mem_truncate(new_state)
             elif do_snapshot:
                 # sync parquet snapshot (truncation="parquet" legacy path)
-                new_state.write.mode("overwrite").parquet(self._state_path(block_end))
+                with no_aqe(self.spark):
+                    new_state.write.mode("overwrite").parquet(self._state_path(block_end))
                 new_state = self.spark.read.parquet(self._state_path(block_end))
             else:
                 new_state = self._scratch_truncate(new_state, block_end)

@@ -66,6 +66,7 @@ def main() -> None:
         out["pagerank_s"] = round(time.monotonic() - t0, 3)
         out["pagerank_supersteps"] = pr.ran_iterations
         out["pagerank_eps"] = round(n_edges * pr.ran_iterations / out["pagerank_s"], 1)
+        out["pagerank_block_ms"] = [round(m["wall_ms"]) for m in pr.metrics]
 
     if "pagerank_csr" in algos:
         t0 = time.monotonic()
@@ -81,6 +82,7 @@ def main() -> None:
         out["wcc_s"] = round(time.monotonic() - t0, 3)
         out["wcc_supersteps"] = w.ran_iterations
         out["wcc_eps"] = round(2 * n_edges * max(1, w.ran_iterations) / out["wcc_s"], 1)
+        out["wcc_block_ms"] = [round(m["wall_ms"]) for m in w.metrics]
 
     if "lpa" in algos:
         t0 = time.monotonic()
@@ -88,6 +90,7 @@ def main() -> None:
         lp.labels.agg(F.countDistinct("label")).first()
         out["lpa_s"] = round(time.monotonic() - t0, 3)
         out["lpa_supersteps"] = lp.ran_iterations
+        out["lpa_block_ms"] = [round(m["wall_ms"]) for m in lp.metrics]
 
     if "tc" in algos:
         t0 = time.monotonic()
