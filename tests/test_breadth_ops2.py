@@ -192,3 +192,37 @@ def test_estimate_new_families_run():
     ]:
         out = estimate(algo, **kw)
         assert out and all(v > 0 for v in out.values()), algo
+
+
+# ---- indexInverse ----------------------------------------------------------
+
+def test_index_inverse_matches_plain_reverse(spark):
+    from graph_data_science_spark.graph import REVERSE
+    edges = edges_from_tuples(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    g = graph_from_edges(spark, edges)
+    plain = {(r["src"], r["dst"]) for r in g.oriented(REVERSE).edges.collect()}
+    gi = g.index_inverse(partitions=4)
+    indexed = {(r["src"], r["dst"]) for r in gi.oriented(REVERSE).edges.collect()}
+    assert indexed == plain == {(1, 0), (2, 0), (2, 1), (3, 2)}
+    # the index is a persisted (cached) layout: REVERSE scans hit the cache
+    plan = gi.oriented(REVERSE).edges._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    # NATURAL orientation is untouched by the index
+    nat = {(r["src"], r["dst"]) for r in gi.edges.collect()}
+    assert nat == {(0, 1), (0, 2), (1, 2), (2, 3)}
+    gd = gi.drop_inverse_index()
+    assert gd._inverse_edges is None
+
+
+def test_index_inverse_preserves_weight(spark):
+    edges = edges_from_tuples(
+        spark, [(0, 1, 2.0), (1, 2, 3.5)], weighted=True)
+    g = graph_from_edges(spark, edges).index_inverse(partitions=2)
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in g.oriented("REVERSE").edges.collect()}
+    assert got == {(1, 0): 2.0, (2, 1): 3.5}
+    # weighted in-degree rides the indexed layout unchanged
+    deg = rows_to_dict(
+        g.oriented("REVERSE").degrees("out", weighted=True),
+        "node_id", "degree")
+    assert deg == {0: 0.0, 1: 2.0, 2: 3.5}
