@@ -142,8 +142,16 @@ def main() -> None:
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # carry over the historical-measurements section (## C. …) from the
+    # previous file — §A/§B are regenerated, the history is append-only
+    history = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        idx = prev.find("\n## C.")
+        if idx >= 0:
+            history = prev[idx:]
     with open(path, "w") as fh:
-        fh.write("\n".join(md) + "\n")
+        fh.write("\n".join(md) + history + "\n")
     eff = (total_s / total_b) / ratio
     print(f"wrote {path}; iterative-suite efficiency {eff:.2f}")
 
