@@ -52,8 +52,13 @@ class CsrEngine:
         sc = self.spark.sparkContext
         self.weighted = weighted
 
-        ids = np.sort(np.array(
-            [r[0] for r in graph.nodes.select("node_id").collect()], dtype="int64"))
+        # Arrow collect, not Row collect: at 8M nodes, materializing Python
+        # Row objects is tens of seconds of SERIAL driver time paid equally
+        # at every parallelism level — a pure constant against the N → 4N
+        # efficiency ratio. toArrow() lands the ids as one columnar buffer.
+        ids = np.sort(
+            graph.nodes.select("node_id").toArrow().column("node_id")
+            .to_numpy(zero_copy_only=False).astype("int64"))
         self.ids = ids
         self.n = len(ids)
         bc_ids = sc.broadcast(ids)
@@ -175,10 +180,15 @@ def pagerank_csr(graph, damping_factor=0.85, tolerance=1e-7, max_iterations=20,
     """Delta-push PageRank on the CSR engine — identical recurrence to
     operators/pagerank.py (PageRankComputation.java:59-108), vertex state in
     NumPy. Returns (scores_df, ran_iterations, converged, metrics)."""
+    import time
+
+    t0 = time.monotonic()
     eng = CsrEngine(graph, weighted=weighted)
+    t_build = time.monotonic()
     n = eng.n
     alpha = 1.0 - damping_factor
     deg = eng.out_degrees()
+    t_deg = time.monotonic()
 
     if source_nodes is not None:
         rank = np.zeros(n)
@@ -187,7 +197,12 @@ def pagerank_csr(graph, damping_factor=0.85, tolerance=1e-7, max_iterations=20,
     else:
         rank = np.full(n, alpha)
     delta = rank.copy()
-    metrics = []
+    # phase walls let the scaling bench attribute non-scaling time: pack =
+    # the dst-repartition shuffle + index translation (distributed, scales),
+    # degrees/superstep = broadcast + pass + driver combine (the per-pass
+    # driver constant is the csr mode's serial fraction)
+    metrics = [{"phase": "pack", "wall_ms": round((t_build - t0) * 1e3, 1)},
+               {"phase": "degrees", "wall_ms": round((t_deg - t_build) * 1e3, 1)}]
     converged = False
     ran = 1  # the send-only initial superstep counts (Pregel.java:172-210)
     safe_deg = np.where(deg > 0, deg, 1.0)
@@ -196,13 +211,15 @@ def pagerank_csr(graph, damping_factor=0.85, tolerance=1e-7, max_iterations=20,
         if not send_mask.any():
             converged = True
             break
+        t_s = time.monotonic()
         per_source = np.where(send_mask & (deg > 0), delta / safe_deg, 0.0)
         msg = eng.scatter_sum(per_source)
         delta = damping_factor * msg
         rank = rank + delta
         ran += 1
         metrics.append({"superstep": ran - 1, "delta_max": float(delta.max()),
-                        "rank_sum": float(rank.sum())})
+                        "rank_sum": float(rank.sum()),
+                        "wall_ms": round((time.monotonic() - t_s) * 1e3, 1)})
     else:
         converged = not (delta > tolerance).any()
     scores = eng.scores_df(rank)

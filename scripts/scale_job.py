@@ -74,6 +74,9 @@ def main() -> None:
         prc.scores.agg(F.sum("score")).first()
         out["pagerank_csr_s"] = round(time.monotonic() - t0, 3)
         out["pagerank_csr_eps"] = round(n_edges * prc.ran_iterations / out["pagerank_csr_s"], 1)
+        out["pagerank_csr_phase_ms"] = [
+            {k: m[k] for k in ("phase", "superstep", "wall_ms") if k in m}
+            for m in prc.metrics]
 
     if "wcc" in algos:
         t0 = time.monotonic()
