@@ -76,7 +76,10 @@ def main() -> None:
     small = run_scale_job(n_small)
     big = run_scale_job(n_big)
 
-    env01 = dict(os.environ, SPARK_GRAFT_CPUS=str(n_big),
+    # sf0.1 bench always at the box's full width (local[32]) so §B numbers
+    # stay comparable across rounds regardless of the scaling pair chosen
+    bench_cpus = max(n_big, 32)
+    env01 = dict(os.environ, SPARK_GRAFT_CPUS=str(bench_cpus),
                  SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
     sf01 = json.loads([l for l in _run(
         [sys.executable, os.path.join(REPO, "bench.py")], env01
@@ -123,7 +126,7 @@ def main() -> None:
         "",
         "## B. Driver-table bench (sf0.1, correctness-scale)",
         "",
-        f"`bench.py` at local[{n_big}] on `/root/testdata/sf0.1` "
+        f"`bench.py` at local[{bench_cpus}] on `/root/testdata/sf0.1` "
         f"({sf01['n_nodes']:,} nodes, {sf01['n_edges']:,} edges):",
         "",
         "| query | seconds |",
