@@ -61,29 +61,45 @@ from pyspark.sql import DataFrame, functions as F
 from graph_data_science_spark.graph import Graph
 from graph_data_science_spark.plans.partitioning import shuffle_hash
 
+# edge-weight mass (m = Σw/2 ≈ edge count unweighted) above which fused
+# sub-round chains disable AQE during scratch writes — below it AQE's
+# partition coalescing is worth 3× at local scale (_Scratch docstring);
+# above it static ReuseExchange dedup wins (docs/SCALE_NOTES.md §11)
+_AQE_OFF_MIN_M = float(os.environ.get("SPARK_GRAFT_AQE_OFF_MIN_M", "2000000"))
+
 
 class _Scratch:
     """Parquet-round-trip plan truncation (plans/pregel.py module doc #1:
     chained ``localCheckpoint`` accumulates planning cost on this Spark
     version — measured 10× on a 2-level Louvain). Two alternating slots per
-    named stream bound disk to the last two states of each."""
+    named stream bound disk to the last two states of each.
 
-    def __init__(self, spark):
+    ``aqe_off`` is SIZE-gated by the caller, not hardwired: disabling AQE
+    protects static ReuseExchange dedup inside fused sub-round chains
+    (docs/SCALE_NOTES.md §11), which pays off only when the per-stage data
+    is large enough that re-executed exchanges dominate. Below that, AQE's
+    partition coalescing wins outright — measured at sf0.1 (600k edges,
+    local[32]) a 2-level Louvain is 97.6 s with AQE off vs 31.8 s with AQE
+    on (3×: every 32-task stage of a ~17-sub-round schedule is scheduling
+    floor, not work), while the §11 depth-2 chain at 14M edges runs ~1.5×
+    better with AQE off."""
+
+    def __init__(self, spark, aqe_off: bool = False):
         import tempfile
         self.spark = spark
         self.dir = tempfile.mkdtemp(prefix="gds_louvain_")
         self._n: dict[str, int] = {}
+        self.aqe_off = aqe_off
 
     def truncate(self, df: DataFrame, stream: str) -> DataFrame:
         import os
-
-        from graph_data_science_spark.plans.pregel import no_aqe
         c = self._n.get(stream, 0)
         path = os.path.join(self.dir, f"{stream}-{c % 2}")
-        # AQE off: fused sub-round chains rely on static ReuseExchange
-        # dedup, which AQE's runtime stage reuse breaks beyond depth ~2
-        # (plans/pregel.no_aqe docstring; docs/SCALE_NOTES.md §11)
-        with no_aqe(self.spark):
+        if self.aqe_off:
+            from graph_data_science_spark.plans.pregel import no_aqe
+            with no_aqe(self.spark):
+                df.write.mode("overwrite").parquet(path)
+        else:
             df.write.mode("overwrite").parquet(path)
         self._n[stream] = c + 1
         return self.spark.read.parquet(path)
@@ -409,6 +425,10 @@ def modularity_optimization(
         adj = scratch.truncate(_adjacency(graph, weighted), "adj")
         nodes = graph.nodes.select("node_id")
         m = float(adj.agg(F.sum("w")).first()[0] or 0.0) / 2.0
+        # size gate for the fused-chain AQE toggle (class docstring): only
+        # graphs big enough that exchange re-execution outweighs AQE's
+        # partition coalescing turn it off
+        scratch.aqe_off = m >= _AQE_OFF_MIN_M
         if m == 0.0:
             return CommunityResult(
                 nodes.select("node_id", F.col("node_id").alias("community")),
@@ -435,6 +455,7 @@ def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
         adj0 = scratch.truncate(_adjacency(graph, weighted), "adj0")
         nodes = graph.nodes.select("node_id")
         m = float(adj0.agg(F.sum("w")).first()[0] or 0.0) / 2.0
+        scratch.aqe_off = m >= _AQE_OFF_MIN_M  # see _Scratch docstring
         identity = nodes.select("node_id", F.col("node_id").alias("community"))
         if m == 0.0:
             return CommunityResult(identity, 0.0, 0, 0, True)

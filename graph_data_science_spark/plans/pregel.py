@@ -63,6 +63,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 ACTIVE_COL = "_active"
 
+# vertex-state rows above which fused block writes disable AQE (see
+# Pregel._aqe_ctx and docs/SCALE_NOTES.md §11); below it AQE partition
+# coalescing wins at local scale
+_AQE_OFF_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_AQE_OFF_MIN_ROWS", "1000000"))
+
 
 from contextlib import contextmanager
 
@@ -209,9 +214,23 @@ class Pregel:
             self._tmp_dir = tempfile.mkdtemp(prefix="gds_pregel_")
         path = os.path.join(self._tmp_dir, f"slot{self._slot}")
         self._slot ^= 1
-        with no_aqe(self.spark):
+        with self._aqe_ctx():
             df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
+
+    def _aqe_ctx(self):
+        """AQE toggle for the block-materializing action, SIZE-gated
+        (docs/SCALE_NOTES.md §11): fused chains over large state need AQE
+        off so static ReuseExchange dedups the repeated sub-plan references
+        (measured 2-3× at 2M+ nodes), but below ~1M state rows AQE's
+        partition coalescing wins outright — at sf0.1 every 32-task stage
+        is scheduling floor, and re-executed prefixes over 600k edges are
+        cheap. Defaults to OFF (the scale-safe side) until the first
+        aggregation of the run measures the state row count."""
+        from contextlib import nullcontext
+        if getattr(self, "_aqe_off", True):
+            return no_aqe(self.spark)
+        return nullcontext()
 
     def _mem_truncate(self, df: DataFrame) -> DataFrame:
         """Plan truncation via eager localCheckpoint: materializes the state
@@ -230,7 +249,7 @@ class Pregel:
         parquet scratch); serialized blocks are compact Tungsten bytes the
         GC scans in O(#blocks), not O(#rows)."""
         from pyspark.storagelevel import StorageLevel
-        with no_aqe(df.sparkSession):
+        with self._aqe_ctx():
             new_df = df.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
         analyzed = new_df._jdf.queryExecution().analyzed()
@@ -368,7 +387,12 @@ class Pregel:
             self._retire_prev(rdd0)
         else:
             state = self._scratch_truncate(state, -1)
-        active = state.agg(F.sum(F.col(ACTIVE_COL).cast("long"))).first()[0] or 0
+        first = state.agg(
+            F.sum(F.col(ACTIVE_COL).cast("long")).alias("a"),
+            F.count(F.lit(1)).alias("r")).first()
+        active = first["a"] or 0
+        # size gate for _aqe_ctx (state rows ride the agg we already run)
+        self._aqe_off = int(first["r"] or 0) >= _AQE_OFF_MIN_ROWS
         converged = active == 0
 
         from pyspark.sql import Observation
@@ -405,7 +429,7 @@ class Pregel:
                 new_state, new_rdd = self._mem_truncate(new_state)
             elif do_snapshot:
                 # sync parquet snapshot (truncation="parquet" legacy path)
-                with no_aqe(self.spark):
+                with self._aqe_ctx():
                     new_state.write.mode("overwrite").parquet(self._state_path(block_end))
                 new_state = self.spark.read.parquet(self._state_path(block_end))
             else:
