@@ -88,12 +88,16 @@ class Graph:
         extra = [c for c in e.columns if c not in ("src", "dst")]
         if orientation == REVERSE:
             if self._inverse_edges is not None:
-                return replace(self, edges=self._inverse_edges)
+                # the derived graph's edge set is no longer the one the
+                # index mirrors — detach it (it stays valid on `self`)
+                return replace(self, edges=self._inverse_edges,
+                               _inverse_edges=None)
             rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), *extra)
-            return replace(self, edges=rev)
+            return replace(self, edges=rev, _inverse_edges=None)
         if orientation == UNDIRECTED:
             rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), *extra)
-            return replace(self, edges=e.select("src", "dst", *extra).unionByName(rev), directed=False)
+            return replace(self, edges=e.select("src", "dst", *extra).unionByName(rev),
+                           directed=False, _inverse_edges=None)
         raise ValueError(f"unknown orientation {orientation!r}")
 
     def index_inverse(self, partitions: int | None = None) -> "Graph":
@@ -133,7 +137,7 @@ class Graph:
             e = e.groupBy("src", "dst").agg(_agg_weight(aggregation).alias("weight"))
         else:
             e = e.select("src", "dst").distinct()
-        return replace(g, edges=e, directed=False)
+        return replace(g, edges=e, directed=False, _inverse_edges=None)
 
     def canonical_undirected_edges(self) -> DataFrame:
         """Distinct edges canonicalized to ``src < dst`` (self-loops dropped).
@@ -187,7 +191,8 @@ class Graph:
             .join(ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
             .join(ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
         )
-        return replace(self, nodes=nodes, edges=edges, _node_count=None, _edge_count=None)
+        return replace(self, nodes=nodes, edges=edges, _node_count=None,
+                       _edge_count=None, _inverse_edges=None)
 
     def with_node_property(self, values: DataFrame, column: str) -> "Graph":
         """MUTATE-mode analog: attach an algorithm result ``(node_id, column)``

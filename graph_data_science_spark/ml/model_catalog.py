@@ -92,6 +92,7 @@ class ModelCatalog:
         entry = self._models.get(name)
         if entry is None:
             raise ValueError(f"Model with name `{name}` does not exist.")
+        path = self._path(name)  # raises the store_location error first
         os.makedirs(self.store_location, exist_ok=True)
         model = entry["model"]
         body = asdict(model) if is_dataclass(model) else model
@@ -106,7 +107,6 @@ class ModelCatalog:
             "model": _jsonable(body),
             "model_class": type(model).__name__,
         }
-        path = self._path(name)
         with open(path, "w") as fh:
             json.dump(payload, fh)
         return path

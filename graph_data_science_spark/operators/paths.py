@@ -103,6 +103,65 @@ class ShortestPathResult:
     converged: bool
 
 
+def _reconstruct_paths(res_state: DataFrame, ran_iterations: int,
+                       src_id: int, final: DataFrame) -> DataFrame:
+    """Shared pred-pointer path reconstruction for dijkstra/astar:
+    walk ``pred`` backward from each row of ``final`` (node_id, dist),
+    prepending into an accumulated array — L rounds for the longest path,
+    all targets simultaneously (no per-target driver loop). Returns the
+    PathResult-shaped DataFrame (source_node, target_node, total_cost,
+    node_ids, costs, path) MATERIALIZED (single terminal localCheckpoint);
+    intermediate truncations go through a parquet scratch that is cleaned
+    up before returning, so repeated calls (e.g. Yens' spur loop) pin no
+    storage."""
+    from graph_data_science_spark.operators.louvain import _Scratch
+
+    scratch = _Scratch(res_state.sparkSession)
+    try:
+        preds = scratch.truncate(res_state.select(
+            F.col("node_id").alias("_pn"), F.col("pred").alias("_pp")), "preds")
+        walk = scratch.truncate(final.select(
+            F.col("node_id").alias("target_node"),
+            F.col("dist").alias("total_cost"),
+            F.col("node_id").alias("_cur"),
+            F.array(F.col("node_id")).alias("node_ids"),
+        ), "walk")
+        for i in range(ran_iterations + 1):
+            at_src = F.col("_cur") == src_id
+            walk = walk.join(preds, walk["_cur"] == preds["_pn"], "inner").select(
+                "target_node", "total_cost",
+                F.when(at_src, F.col("_cur")).otherwise(F.col("_pp")).alias("_cur"),
+                F.when(at_src, F.col("node_ids"))
+                .otherwise(F.concat(F.array(F.col("_pp")), F.col("node_ids"))).alias("node_ids"),
+            )
+            if (i + 1) % 4 == 0:
+                walk = scratch.truncate(walk, "walk")
+        base = walk.select(
+            F.lit(src_id).cast("long").alias("source_node"), "target_node",
+            "total_cost", "node_ids",
+            F.concat_ws("->", F.col("node_ids").cast("array<string>")).alias("path"))
+        # costs[i] = settled distance of node_ids[i] — rebuilt from the final
+        # state so the array is exact regardless of walk order
+        dist_map = res_state.select(F.col("node_id").alias("_dn"),
+                                    F.col("dist").alias("_dv"))
+        exploded = base.select("source_node", "target_node", "total_cost", "path",
+                               F.posexplode("node_ids").alias("_pos", "_nid"))
+        costs = (exploded.join(dist_map, exploded["_nid"] == dist_map["_dn"])
+                 .groupBy("source_node", "target_node", "total_cost", "path")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("_pos", "_nid", "_dv"))).alias("_z")))
+        out = costs.select(
+            "source_node", "target_node", "total_cost",
+            F.transform(F.col("_z"), lambda s: s["_nid"]).alias("node_ids"),
+            F.transform(F.col("_z"), lambda s: s["_dv"]).alias("costs"),
+            "path",
+        )
+        # materialize before the scratch files vanish
+        return out.localCheckpoint(eager=True)
+    finally:
+        scratch.cleanup()
+
+
 def dijkstra(graph: Graph, source: int, weighted: bool = True,
              max_iterations: int = 100, targets: list[int] | None = None
              ) -> ShortestPathResult:
@@ -129,7 +188,7 @@ def dijkstra(graph: Graph, source: int, weighted: bool = True,
         raise ValueError("weighted shortest paths require edges.weight")
     spark = graph.nodes.sparkSession
     cols = ["src", "dst"] + (["weight"] if weighted else [])
-    edges = graph.edges.select(*cols).localCheckpoint(eager=True)
+    edges = graph.edges.select(*cols).persist()
     src_id = int(source)
 
     init = F.when(F.col("node_id") == src_id, F.lit(0.0)).otherwise(F.lit(_INF))
@@ -163,53 +222,13 @@ def dijkstra(graph: Graph, source: int, weighted: bool = True,
     # and fused blocks would only observe block-final counts
     driver = Pregel(spark, max_iterations=max_iterations, fuse=1)
     res = driver.run(state, step)
+    edges.unpersist()
 
     final = res.state.where(F.col("dist") < F.lit(_INF))
     if targets is not None:
         tl = [int(t) for t in targets]
         final = final.where(F.col("node_id").isin(tl))
-    preds = res.state.select(
-        F.col("node_id").alias("_pn"), F.col("pred").alias("_pp"),
-        F.col("dist").alias("_pd")).localCheckpoint(eager=True)
-
-    walk = final.select(
-        F.col("node_id").alias("target_node"),
-        F.col("dist").alias("total_cost"),
-        F.col("node_id").alias("_cur"),
-        F.array(F.col("node_id")).alias("node_ids"),
-    ).localCheckpoint(eager=True)
-    for i in range(res.ran_iterations + 1):
-        at_src = F.col("_cur") == src_id
-        walk = walk.join(preds, walk["_cur"] == preds["_pn"], "inner").select(
-            "target_node", "total_cost",
-            F.when(at_src, F.col("_cur")).otherwise(F.col("_pp")).alias("_cur"),
-            F.when(at_src, F.col("node_ids"))
-            .otherwise(F.concat(F.array(F.col("_pp")), F.col("node_ids"))).alias("node_ids"),
-        )
-        if (i + 1) % 4 == 0:
-            walk = walk.localCheckpoint(eager=True)
-
-    paths = walk.select(
-        F.lit(src_id).cast("long").alias("source_node"),
-        "target_node",
-        "total_cost",
-        "node_ids",
-        F.concat_ws("->", F.col("node_ids").cast("array<string>")).alias("path"),
-    )
-    # costs[i] = settled distance of node_ids[i] — rebuild from the final
-    # state so the array is exact regardless of walk order
-    dist_map = res.state.select(F.col("node_id").alias("_dn"), F.col("dist").alias("_dv"))
-    exploded = paths.select("source_node", "target_node", "total_cost", "path",
-                            F.posexplode("node_ids").alias("_pos", "_nid"))
-    costs = (exploded.join(dist_map, exploded["_nid"] == dist_map["_dn"])
-             .groupBy("source_node", "target_node", "total_cost", "path")
-             .agg(F.array_sort(F.collect_list(F.struct("_pos", "_nid", "_dv"))).alias("_z")))
-    out = costs.select(
-        "source_node", "target_node", "total_cost",
-        F.transform(F.col("_z"), lambda s: s["_nid"]).alias("node_ids"),
-        F.transform(F.col("_z"), lambda s: s["_dv"]).alias("costs"),
-        "path",
-    )
+    out = _reconstruct_paths(res.state, res.ran_iterations, src_id, final)
     result = ShortestPathResult(out, res.ran_iterations, res.converged)
     # exploration volume (Σ active over supersteps) — the baseline A*'s
     # bound-pruning is measured against
@@ -261,24 +280,33 @@ def astar(graph: Graph, source: int, target: int, weighted: bool = True,
     spark = graph.nodes.sparkSession
     src_id, tgt_id = int(source), int(target)
     cols = ["src", "dst"] + (["weight"] if weighted else [])
-    edges = graph.edges.select(*cols).localCheckpoint(eager=True)
+    edges = graph.edges.select(*cols).persist()
 
     if (latitude_property is None) != (longitude_property is None):
         raise ValueError("latitude_property and longitude_property go together")
+    tgt_exists = graph.nodes.where(F.col("node_id") == tgt_id).limit(1).count()
+    if tgt_exists == 0:
+        raise ValueError(f"target node {tgt_id} not in graph")
     if latitude_property is not None:
         for p in (latitude_property, longitude_property):
             if p not in graph.nodes.columns:
                 raise ValueError(f"The property `{p}` has not been loaded")
         tgt_row = graph.nodes.where(F.col("node_id") == tgt_id).select(
             latitude_property, longitude_property).first()
-        h_col = _haversine_nm(
-            F.col(latitude_property), F.col(longitude_property),
-            F.lit(float(tgt_row[0])), F.lit(float(tgt_row[1])))
+        if tgt_row[0] is None or tgt_row[1] is None:
+            raise ValueError(
+                f"target node {tgt_id} has NULL {latitude_property}/"
+                f"{longitude_property} — A* needs target coordinates")
+        # NULL coordinates on intermediate nodes degrade to h = 0 (always
+        # admissible) instead of a NULL predicate that would silently drop
+        # the node from the frontier forever
+        h_col = F.coalesce(
+            _haversine_nm(
+                F.col(latitude_property), F.col(longitude_property),
+                F.lit(float(tgt_row[0])), F.lit(float(tgt_row[1]))),
+            F.lit(0.0))
     else:
         h_col = F.lit(0.0)
-
-    if graph.nodes.where(F.col("node_id") == tgt_id).limit(1).count() == 0:
-        raise ValueError(f"target node {tgt_id} not in graph")
 
     init = F.when(F.col("node_id") == src_id, F.lit(0.0)).otherwise(F.lit(_INF))
     state = graph.nodes.select(
@@ -336,46 +364,12 @@ def astar(graph: Graph, source: int, target: int, weighted: bool = True,
         )
 
     res = driver.run(state, step)
+    edges.unpersist()
 
     # path reconstruction: walk pred pointers backward from the target
     final = res.state.where(
         (F.col("node_id") == tgt_id) & (F.col("dist") < F.lit(_INF)))
-    preds = res.state.select(
-        F.col("node_id").alias("_pn"), F.col("pred").alias("_pp"),
-        F.col("dist").alias("_pd")).localCheckpoint(eager=True)
-    walk = final.select(
-        F.col("node_id").alias("target_node"),
-        F.col("dist").alias("total_cost"),
-        F.col("node_id").alias("_cur"),
-        F.array(F.col("node_id")).alias("node_ids"),
-    ).localCheckpoint(eager=True)
-    for i in range(res.ran_iterations + 1):
-        at_src = F.col("_cur") == src_id
-        walk = walk.join(preds, walk["_cur"] == preds["_pn"], "inner").select(
-            "target_node", "total_cost",
-            F.when(at_src, F.col("_cur")).otherwise(F.col("_pp")).alias("_cur"),
-            F.when(at_src, F.col("node_ids"))
-            .otherwise(F.concat(F.array(F.col("_pp")), F.col("node_ids"))).alias("node_ids"),
-        )
-        if (i + 1) % 4 == 0:
-            walk = walk.localCheckpoint(eager=True)
-    dist_map = res.state.select(F.col("node_id").alias("_dn"), F.col("dist").alias("_dv"))
-    base = walk.select(
-        F.lit(src_id).cast("long").alias("source_node"), "target_node",
-        "total_cost", "node_ids",
-        F.concat_ws("->", F.col("node_ids").cast("array<string>")).alias("path"))
-    exploded = base.select("source_node", "target_node", "total_cost", "path",
-                           F.posexplode("node_ids").alias("_pos", "_nid"))
-    costs = (exploded.join(dist_map, exploded["_nid"] == dist_map["_dn"])
-             .groupBy("source_node", "target_node", "total_cost", "path")
-             .agg(F.array_sort(F.collect_list(
-                 F.struct("_pos", "_nid", "_dv"))).alias("_z")))
-    out = costs.select(
-        "source_node", "target_node", "total_cost",
-        F.transform(F.col("_z"), lambda s: s["_nid"]).alias("node_ids"),
-        F.transform(F.col("_z"), lambda s: s["_dv"]).alias("costs"),
-        "path",
-    )
+    out = _reconstruct_paths(res.state, res.ran_iterations, src_id, final)
     result = ShortestPathResult(out, res.ran_iterations, res.converged)
     # exploration-volume evidence for tests/plan audits: every dist
     # improvement counts, including improvements the bound then silences
@@ -553,39 +547,63 @@ def dag_longest_path(graph: Graph, weighted: bool = True,
     DAG this converges in ≤ longest-chain supersteps. The argmax
     PREDECESSOR (ties → smaller pred id) makes the implied path tree
     deterministic and engine-portable. Raises on cyclic input (the
-    reference's topological-sort DAG validation).
+    reference's topological-sort DAG validation): weights must be
+    non-negative (checked upfront), so every cycle has total weight ≥ 0 —
+    positive-total cycles keep improving ``dist`` and zero-total cycles
+    keep improving the tracked hop count, either way the frontier never
+    empties and non-convergence at ``max_iterations`` raises.
     """
     if weighted and not graph.has_weight():
         raise ValueError("weighted dag_longest_path requires edges.weight")
     spark = graph.nodes.sparkSession
     cols = ["src", "dst"] + (["weight"] if weighted else [])
     edges = graph.edges.select(*cols).persist()
+    if weighted:
+        wmin = edges.agg(F.min("weight")).first()[0]
+        if wmin is not None and float(wmin) < 0.0:
+            edges.unpersist()
+            raise ValueError("dag_longest_path requires non-negative weights")
 
     state = graph.nodes.select(
         "node_id", F.lit(0.0).alias("dist"),
         F.col("node_id").alias("pred"),
+        F.lit(0).cast("long").alias("hops"),
         F.lit(1).cast("int").alias(ACTIVE_COL),
     )
     relax = F.col("_d") + (F.col("weight") if weighted else F.lit(1.0))
 
     def step(st: DataFrame, superstep: int) -> DataFrame:
         frontier = shuffle_hash(st.where(F.col(ACTIVE_COL) == 1).select(
-            F.col("node_id").alias("_n"), F.col("dist").alias("_d")))
+            F.col("node_id").alias("_n"), F.col("dist").alias("_d"),
+            F.col("hops").alias("_hh")))
         cand = (
             edges.join(frontier, edges.src == F.col("_n"), "inner")
             # argmax with deterministic ties: maximize (dist, -pred) so equal
-            # distances resolve to the SMALLER predecessor id
-            .select(F.col("dst"), relax.alias("_cd"), F.col("src").alias("_p"))
+            # distances resolve to the SMALLER predecessor id; the offer's
+            # hop count rides along (cycle detection — module docstring)
+            .select(F.col("dst"), relax.alias("_cd"), F.col("src").alias("_p"),
+                    (F.col("_hh") + 1).alias("_oh"))
             .groupBy("dst")
-            .agg(F.max(F.struct(F.col("_cd"), (-F.col("_p")).alias("_np"))).alias("_offer"))
+            .agg(F.max(F.struct(F.col("_cd"), (-F.col("_p")).alias("_np"),
+                                F.col("_oh"))).alias("_offer"),
+                 F.max("_oh").alias("_maxoh"))
         )
         joined = st.join(shuffle_hash(cand), st.node_id == cand.dst, "left")
         better = F.col("_offer._cd") > F.col("dist")
+        # zero-weight cycles never improve dist but DO keep raising the
+        # incoming hop count at the same dist — treat that as activity so
+        # the loop spins to max_iterations and the cycle check fires
+        hops_grew = (F.col("_offer._cd") == F.col("dist")) & (
+            F.col("_maxoh") > F.col("hops"))
         return joined.select(
             st.node_id,
             F.when(better, F.col("_offer._cd")).otherwise(F.col("dist")).alias("dist"),
             F.when(better, -F.col("_offer._np")).otherwise(F.col("pred")).alias("pred"),
-            F.coalesce(better, F.lit(False)).cast("int").alias(ACTIVE_COL),
+            F.when(better, F.col("_offer._oh"))
+            .when(hops_grew, F.col("_maxoh"))
+            .otherwise(F.col("hops")).alias("hops"),
+            (F.coalesce(better, F.lit(False))
+             | F.coalesce(hops_grew, F.lit(False))).cast("int").alias(ACTIVE_COL),
         )
 
     driver = Pregel(spark, max_iterations=max_iterations,

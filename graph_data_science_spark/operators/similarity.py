@@ -77,8 +77,11 @@ def node_similarity(
     ok = sizes.where(F.col("deg") >= int(degree_cutoff))
     nbrs = nbrs.join(ok.select("src"), "src", "left_semi")
 
+    freq = None
     if max_neighbor_frequency == "auto":
-        freq = nbrs.groupBy("dst").agg(F.count(F.lit(1)).alias("_f"))
+        # persisted: the same aggregation feeds the driver histogram AND,
+        # when a cap results, the cool-dst filter below — one scan, not two
+        freq = nbrs.groupBy("dst").agg(F.count(F.lit(1)).alias("_f")).persist()
         hist = sorted(
             (int(r["_f"]), int(r["cnt"])) for r in
             freq.groupBy("_f").agg(F.count(F.lit(1)).alias("cnt")).collect())
@@ -88,20 +91,25 @@ def node_similarity(
             10_000_000, 50 * n_dsts)
         if total_pairs <= budget:
             max_neighbor_frequency = None  # exact — volume is affordable
+            freq.unpersist()  # no downstream use on the exact path
+            freq = None
         else:
-            # largest frequency class whose cumulative volume still fits
+            # largest frequency class whose cumulative volume still fits;
+            # if even the SMALLEST class alone blows the budget, keep that
+            # class anyway (best-effort) — a cap below every observed
+            # frequency would silently return zero pairs
             cum, cap = 0, None
             for f, c in hist:
                 cum += c * f * (f - 1) // 2
                 if cum > budget:
                     break
                 cap = f
-            max_neighbor_frequency = (
-                cap if cap is not None else max(1, hist[0][0] - 1))
+            max_neighbor_frequency = cap if cap is not None else hist[0][0]
 
     pair_nbrs = nbrs
     if max_neighbor_frequency is not None:
-        freq = nbrs.groupBy("dst").agg(F.count(F.lit(1)).alias("_f"))
+        if freq is None:
+            freq = nbrs.groupBy("dst").agg(F.count(F.lit(1)).alias("_f"))
         cool = freq.where(F.col("_f") <= int(max_neighbor_frequency)).select("dst")
         pair_nbrs = nbrs.join(cool, "dst", "left_semi")
 

@@ -63,15 +63,28 @@ def run_scale_job(cpus: int, parts: int = 32) -> dict:
 def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    n_nodes = sys.argv[3] if len(sys.argv) > 3 else "2000000"
+    # round-3 standard input: 8M nodes (~49M edges) — big enough that one
+    # pagerank superstep is tens of seconds at local[2]
+    n_nodes = sys.argv[3] if len(sys.argv) > 3 else "8000000"
     avg_deg = sys.argv[4] if len(sys.argv) > 4 else "8"
 
     # the generator is deterministic (seed 42), so an existing complete
-    # output for the same size is byte-equivalent — reuse it
-    if not os.path.exists(os.path.join(INPUT, "_SUCCESS")):
+    # output for the SAME PARAMETERS is byte-equivalent — reuse it. A
+    # params sidecar guards against silently benchmarking a stale,
+    # differently-sized graph left by an earlier run.
+    params_path = os.path.join(INPUT, "_GEN_PARAMS.json")
+    want = {"n_nodes": str(n_nodes), "avg_deg": str(avg_deg)}
+    have = None
+    if os.path.exists(os.path.join(INPUT, "_SUCCESS")) and os.path.exists(params_path):
+        have = json.load(open(params_path))
+    if have != want:
+        import shutil
+        shutil.rmtree(INPUT, ignore_errors=True)
         _run([sys.executable,
               os.path.join(REPO, "scripts", "gen_scaling_input.py"),
               INPUT, n_nodes, avg_deg])
+        with open(params_path, "w") as fh:
+            json.dump(want, fh)
 
     small = run_scale_job(n_small)
     big = run_scale_job(n_big)

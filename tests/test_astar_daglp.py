@@ -155,3 +155,52 @@ def test_dag_longest_path_pred_tie_breaks_smaller(spark):
            for r in dag_longest_path(g).collect()}
     assert out[2] == (3.0, 0)
     assert out[3] == (4.0, 2)
+
+
+def test_dag_longest_path_zero_weight_cycle_raises(spark):
+    """A zero-total-weight cycle never improves dist; detection rides the
+    tracked hop count (strictly growing around the cycle)."""
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node_id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 0.0), (1, 0, 0.0), (0, 2, 1.0)],
+        "src long, dst long, weight double")
+    g = Graph(nodes=nodes, edges=edges)
+    with pytest.raises(ValueError, match="cycle"):
+        dag_longest_path(g, weighted=True, max_iterations=8)
+
+
+def test_dag_longest_path_rejects_negative_weights(spark):
+    nodes = spark.createDataFrame([(0,), (1,)], "node_id long")
+    edges = spark.createDataFrame(
+        [(0, 1, -2.0)], "src long, dst long, weight double")
+    g = Graph(nodes=nodes, edges=edges)
+    with pytest.raises(ValueError, match="non-negative"):
+        dag_longest_path(g, weighted=True)
+
+
+def test_astar_null_intermediate_coordinates_degrade_to_h0(spark):
+    """A NULL lat/lon on an intermediate node must not silently drop it from
+    the frontier (h falls back to 0, which is always admissible)."""
+    nodes = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, None, None), (2, 0.2, 0.2)],
+        "node_id long, latitude double, longitude double")
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double")
+    g = Graph(nodes=nodes, edges=edges)
+    res = astar(g, 0, 2, latitude_property="latitude",
+                longitude_property="longitude")
+    row = res.paths.first()
+    assert row["total_cost"] == 2.0
+    assert list(row["node_ids"]) == [0, 1, 2]
+
+
+def test_astar_null_target_coordinates_raise(spark):
+    nodes = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, None, None)],
+        "node_id long, latitude double, longitude double")
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0)], "src long, dst long, weight double")
+    g = Graph(nodes=nodes, edges=edges)
+    with pytest.raises(ValueError, match="NULL"):
+        astar(g, 0, 1, latitude_property="latitude",
+              longitude_property="longitude")

@@ -226,3 +226,25 @@ def test_index_inverse_preserves_weight(spark):
         g.oriented("REVERSE").degrees("out", weighted=True),
         "node_id", "degree")
     assert deg == {0: 0.0, 1: 2.0, 2: 3.5}
+
+
+def test_index_inverse_detaches_on_derived_graphs(spark):
+    """The materialized inverse index must not survive edge-set-changing
+    derivations — a filtered subgraph's REVERSE orientation has to reflect
+    the filter, and double-REVERSE must restore the natural edges."""
+    from graph_data_science_spark.graph import REVERSE
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (0, 2, 9.0), (1, 2, 1.0)], weighted=True)
+    gi = graph_from_edges(spark, edges).index_inverse(partitions=2)
+    # subgraph drops the hot edge; its REVERSE must too
+    sub = gi.subgraph(rel_filter="weight < 5")
+    assert sub._inverse_edges is None
+    rev = {(r["src"], r["dst"]) for r in sub.oriented(REVERSE).edges.collect()}
+    assert rev == {(1, 0), (2, 1)}
+    # double REVERSE returns the natural orientation, not the index again
+    back = {(r["src"], r["dst"])
+            for r in gi.oriented(REVERSE).oriented(REVERSE).edges.collect()}
+    assert back == {(0, 1), (0, 2), (1, 2)}
+    # to_undirected mirrors everything and drops the directed index
+    und = gi.to_undirected()
+    assert und._inverse_edges is None

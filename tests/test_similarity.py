@@ -190,17 +190,30 @@ def test_knn_method_dispatch(spark):
 def test_node_similarity_auto_cap_engages_on_hub(spark):
     """auto mode: exact when pair volume fits the budget; otherwise the cap
     is the largest frequency class whose cumulative pair volume fits, so
-    the hub classes emitting the quadratic bulk are pruned."""
+    the hub classes emitting the quadratic bulk are pruned — and when even
+    the smallest class alone blows the budget, that class is kept anyway
+    (best-effort, never a silent empty result)."""
     from graph_data_science_spark.graph import edges_from_tuples, graph_from_edges
 
-    # 30 spokes sharing one hub neighbor → C(30,2)=435 pairs
-    edges = edges_from_tuples(spark, [(i, 999) for i in range(30)])
+    # 30 spokes sharing one hub neighbor (f=30 → C(30,2)=435 pairs) plus a
+    # mild shared neighbor of 3 nodes (f=3 → 3 pairs)
+    edges = edges_from_tuples(
+        spark, [(i, 999) for i in range(30)] + [(i, 888) for i in range(3)])
     g = graph_from_edges(spark, edges)
     exact = node_similarity(g, max_neighbor_frequency=None).count()
-    auto_roomy = node_similarity(g).count()  # budget floor 1e7 ≫ 435 → exact
+    auto_roomy = node_similarity(g).count()  # budget floor 1e7 ≫ 438 → exact
     assert auto_roomy == exact
-    capped = node_similarity(g, pair_budget=10).count()  # forces the cap
-    assert capped < exact
+    # budget 10 affords the f=3 class (3 pairs) but not the f=30 hub: the
+    # cap prunes the hub, keeps the mild pairs
+    capped = node_similarity(g, pair_budget=10).count()
+    assert 0 < capped < exact
+    # single-class graph where even the smallest class exceeds the budget:
+    # best-effort keeps the class instead of silently returning nothing
+    hub_only = graph_from_edges(
+        spark, edges_from_tuples(spark, [(i, 999) for i in range(30)]))
+    floor = node_similarity(hub_only, pair_budget=10).count()
+    assert floor == node_similarity(
+        hub_only, max_neighbor_frequency=None).count()
 
 
 def test_kmeans_sample_init_matches_first_on_request(spark):
