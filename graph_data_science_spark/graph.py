@@ -97,7 +97,7 @@ class Graph:
         if orientation == UNDIRECTED:
             rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), *extra)
             return replace(self, edges=e.select("src", "dst", *extra).unionByName(rev),
-                           directed=False, _inverse_edges=None)
+                           directed=False, _inverse_edges=None, _edge_count=None)
         raise ValueError(f"unknown orientation {orientation!r}")
 
     def index_inverse(self, partitions: int | None = None) -> "Graph":
@@ -137,7 +137,8 @@ class Graph:
             e = e.groupBy("src", "dst").agg(_agg_weight(aggregation).alias("weight"))
         else:
             e = e.select("src", "dst").distinct()
-        return replace(g, edges=e, directed=False, _inverse_edges=None)
+        return replace(g, edges=e, directed=False, _inverse_edges=None,
+                       _edge_count=None)
 
     def canonical_undirected_edges(self) -> DataFrame:
         """Distinct edges canonicalized to ``src < dst`` (self-loops dropped).

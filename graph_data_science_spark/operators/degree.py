@@ -25,6 +25,10 @@ def degree_centrality(
     undirected CSR which materializes both directions).
     """
     e = graph.edges
+    if weighted and "weight" not in e.columns:
+        # checked BEFORE the projections below reference the column, so the
+        # caller gets this error instead of a raw AnalysisException
+        raise ValueError("weighted degree requires edges.weight")
     if orientation == "UNDIRECTED":
         sides = e.select(F.col("src").alias("node_id"), *( ["weight"] if weighted else [] )).unionByName(
             e.select(F.col("dst").alias("node_id"), *( ["weight"] if weighted else [] ))
@@ -35,8 +39,6 @@ def degree_centrality(
         sides = e.select(F.col("src").alias("node_id"), *( ["weight"] if weighted else [] ))
 
     if weighted:
-        if "weight" not in e.columns:
-            raise ValueError("weighted degree requires edges.weight")
         deg = (
             sides.where(F.col("weight") > 0.0)
             .groupBy("node_id")

@@ -62,8 +62,6 @@ def fastrp(
     try:
         g = graph.oriented(UNDIRECTED)
         edges = scratch.truncate(g.edges.select("src", "dst").distinct(), "edges")
-        deg = edges.groupBy(F.col("dst").alias("node_id")).agg(
-            F.count(F.lit(1)).alias("deg"))
         sqrt3 = math.sqrt(3.0)
         dims = spark.range(embedding_dim).select(F.col("id").cast("long").alias("dim"))
         u = _u01(F.col("node_id"), F.col("dim"), F.lit(int(seed)))

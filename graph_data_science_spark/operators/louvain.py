@@ -225,6 +225,7 @@ def _local_move(adj, sup_nodes, k, m, max_iterations, n_classes, scratch,
     from pyspark.sql import Observation
     total = 0
     it = 0
+    moves = 0
     while it < max_iterations:
         blk = min(int(fuse), max_iterations - it)
         new = comm.select("node_id", "comm", F.lit(0).cast("int").alias("_mvd"))
@@ -240,7 +241,9 @@ def _local_move(adj, sup_nodes, k, m, max_iterations, n_classes, scratch,
         it += blk
         if moves == 0:
             break
-    return comm, total, it
+    # converged = the LAST block moved nothing (fixpoint reached), whether
+    # the loop broke early or landed exactly on the iteration cap
+    return comm, total, it, moves == 0
 
 
 def _relabel_min_member(comm: DataFrame) -> DataFrame:
@@ -434,14 +437,14 @@ def modularity_optimization(
                 nodes.select("node_id", F.col("node_id").alias("community")),
                 0.0, 1, 0, True)
         k = scratch.truncate(_degrees(adj, nodes), "k")
-        comm, moves, iters = _local_move(adj, nodes, k, m, max_iterations,
-                                         n_classes, scratch)
+        comm, moves, iters, lm_conv = _local_move(adj, nodes, k, m,
+                                                  max_iterations,
+                                                  n_classes, scratch)
         comm = _relabel_min_member(comm)
         q = _modularity_value(adj, comm, m)
         out = comm.select("node_id", F.col("comm").alias("community")) \
             .localCheckpoint(eager=True)
-        return CommunityResult(out, q, 1, iters,
-                               iters < max_iterations or moves == 0)
+        return CommunityResult(out, q, 1, iters, lm_conv)
     finally:
         scratch.cleanup()
 
@@ -465,10 +468,12 @@ def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
         sup = nodes
         levels = 0
         total_iters = 0
+        level_conv = True
+        moves = 0
         for _ in range(max_levels):
             k = scratch.truncate(_degrees(adj, sup), "k")
-            comm, moves, iters = _local_move(adj, sup, k, m, max_iterations,
-                                             n_classes, scratch, gamma)
+            comm, moves, iters, level_conv = _local_move(
+                adj, sup, k, m, max_iterations, n_classes, scratch, gamma)
             total_iters += iters
             if refine:
                 # aggregate on the refined (connectivity-split) partition:
@@ -499,7 +504,12 @@ def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
             adj0, final.select("node_id", F.col("community").alias("comm")),
             m, gamma)
         final = final.localCheckpoint(eager=True)
-        return CommunityResult(final, q, levels, total_iters, True)
+        # converged = the last level's local moving reached a fixpoint
+        # (either it broke the level loop with moves == 0, or its final
+        # block moved nothing at the iteration cap); a run that exhausted
+        # max_levels while still moving is honestly reported unconverged
+        converged = (moves == 0) or level_conv
+        return CommunityResult(final, q, levels, total_iters, converged)
     finally:
         scratch.cleanup()
 

@@ -107,7 +107,6 @@ def article_rank(
     """``gds.articleRank``: PageRank variant dividing by (degree + avgDegree)
     (algo/.../pagerank/ArticleRankComputation.java; avg degree from
     PageRankAlgorithmFactory.java:51-60)."""
-    edges = _prep_edges(graph, weighted)
     deg = graph.degrees("out", weighted=weighted)
     avg_degree = (
         deg.agg(F.avg("degree")).first()[0] or 0.0

@@ -156,6 +156,16 @@ def scc(graph: Graph, max_outer: int = 30, max_label_rounds: int = 60,
                 alive.join(found.select("node_id"), "node_id", "left_anti"),
                 "alive")
 
+        if assigned is None:
+            # empty node set (or zero outer rounds): nothing to relabel
+            return spark.createDataFrame([], "node_id long, component long")
+        leftover = alive.count()
+        if leftover:
+            # silently dropping unresolved nodes would hand the caller a
+            # partial component map — fail loudly like dag_levels does
+            raise ValueError(
+                f"scc did not resolve {leftover} nodes in {max_outer} "
+                "outer rounds — raise max_outer")
         # relabel to min member id — stable and portable
         lab = assigned.groupBy("component").agg(F.min("node_id").alias("_new"))
         out = assigned.join(lab, "component").select(

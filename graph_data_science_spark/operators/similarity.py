@@ -79,8 +79,8 @@ def node_similarity(
 
     freq = None
     if max_neighbor_frequency == "auto":
-        # persisted: the same aggregation feeds the driver histogram AND,
-        # when a cap results, the cool-dst filter below — one scan, not two
+        # persisted only for the duration of this planning step (histogram
+        # collect); released before returning — never pinned into the plan
         freq = nbrs.groupBy("dst").agg(F.count(F.lit(1)).alias("_f")).persist()
         hist = sorted(
             (int(r["_f"]), int(r["cnt"])) for r in
@@ -108,9 +108,15 @@ def node_similarity(
 
     pair_nbrs = nbrs
     if max_neighbor_frequency is not None:
-        if freq is None:
-            freq = nbrs.groupBy("dst").agg(F.count(F.lit(1)).alias("_f"))
-        cool = freq.where(F.col("_f") <= int(max_neighbor_frequency)).select("dst")
+        if freq is not None:
+            # release the histogram cache: the returned plan must not pin a
+            # per-call cached table (the round-1 persist-leak class). The
+            # cool filter below re-derives the aggregation lazily inside the
+            # main query — one extra agg, dwarfed by the pair join it guards.
+            freq.unpersist()
+        lazy_freq = nbrs.groupBy("dst").agg(F.count(F.lit(1)).alias("_f"))
+        cool = lazy_freq.where(
+            F.col("_f") <= int(max_neighbor_frequency)).select("dst")
         pair_nbrs = nbrs.join(cool, "dst", "left_semi")
 
     inter = (

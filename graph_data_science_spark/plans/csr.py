@@ -192,8 +192,14 @@ def pagerank_csr(graph, damping_factor=0.85, tolerance=1e-7, max_iterations=20,
 
     if source_nodes is not None:
         rank = np.zeros(n)
-        pos = np.searchsorted(eng.ids, np.array(sorted(source_nodes), dtype="int64"))
-        rank[pos] = alpha
+        want = np.array(sorted(set(int(s) for s in source_nodes)), dtype="int64")
+        pos = np.searchsorted(eng.ids, want)
+        # membership check: searchsorted alone returns an insertion point for
+        # UNKNOWN ids (out-of-range → IndexError, mid-range → silently seeds
+        # the wrong node). Unknown sources are dropped — join-mode parity
+        # (operators/pagerank.py uses isin).
+        valid = (pos < n) & (eng.ids[np.minimum(pos, n - 1)] == want)
+        rank[pos[valid]] = alpha
     else:
         rank = np.full(n, alpha)
     delta = rank.copy()

@@ -1,5 +1,7 @@
 """DFS, spanning tree (Borůvka), CNARW sampler, memory estimation."""
 
+import pytest
+
 from graph_data_science_spark.graph import edges_from_tuples, graph_from_edges
 from graph_data_science_spark.operators.estimate import (
     fits_executors,
@@ -248,3 +250,36 @@ def test_index_inverse_detaches_on_derived_graphs(spark):
     # to_undirected mirrors everything and drops the directed index
     und = gi.to_undirected()
     assert und._inverse_edges is None
+
+
+def test_edge_count_invalidated_by_undirected(spark):
+    from graph_data_science_spark.graph import UNDIRECTED
+    g = graph_from_edges(spark, edges_from_tuples(spark, [(0, 1), (1, 2)]))
+    assert g.edge_count() == 2
+    assert g.oriented(UNDIRECTED).edge_count() == 4
+    assert g.to_undirected().edge_count() == 4  # mirror + dedup
+
+
+def test_scc_empty_and_degree_error(spark):
+    from graph_data_science_spark.graph import Graph
+    from graph_data_science_spark.operators.scc import scc
+    from graph_data_science_spark.operators.degree import degree_centrality
+
+    empty = Graph(nodes=spark.createDataFrame([], "node_id long"),
+                  edges=spark.createDataFrame([], "src long, dst long"))
+    assert scc(empty).count() == 0
+    g = graph_from_edges(spark, edges_from_tuples(spark, [(0, 1)]))
+    with pytest.raises(ValueError, match="weight"):
+        degree_centrality(g, weighted=True)
+
+
+def test_louvain_converged_flag_honest(spark):
+    """A run cut off at max_levels/max_iterations while still moving must
+    not claim convergence; a run whose last block moved nothing must."""
+    from graph_data_science_spark.operators.louvain import louvain
+
+    # two triangles joined by a bridge: converges quickly
+    g = graph_from_edges(spark, edges_from_tuples(
+        spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]))
+    done = louvain(g, max_levels=4, max_iterations=4)
+    assert done.converged

@@ -57,3 +57,21 @@ def test_csr_rejects_checkpoint(spark):
     g = _graph(spark, F1_EDGES, F1_NODES)
     with pytest.raises(ValueError, match="join"):
         pagerank(g, mode="csr", checkpoint_dir="/tmp/x")
+
+
+def test_pagerank_csr_unknown_source_nodes_dropped(spark):
+    """Unknown personalized sources are dropped (join-mode parity), never
+    seeded onto the insertion-point node or crashed on out-of-range ids."""
+    from graph_data_science_spark.graph import Graph
+    from graph_data_science_spark.operators.pagerank import pagerank
+
+    nodes = spark.createDataFrame([(0,), (2,), (4,)], "node_id long")
+    edges = spark.createDataFrame([(0, 2), (2, 4)], "src long, dst long")
+    g = Graph(nodes=nodes, edges=edges)
+    # 3 is absent (mid-range), 99 is absent (out of range)
+    for srcs in ([2, 3], [2, 99]):
+        csr = {r["node_id"]: r["score"]
+               for r in pagerank(g, source_nodes=srcs, mode="csr").scores.collect()}
+        join = {r["node_id"]: r["score"]
+                for r in pagerank(g, source_nodes=srcs, mode="join").scores.collect()}
+        assert csr == pytest.approx(join, abs=1e-9)
