@@ -1,0 +1,79 @@
+"""Incremental link-graph ingestion: streamed edge deltas must merge to
+exactly the batch projection."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.sources.edge_extraction import build_link_graph
+from graph_data_science_spark.sources.repo_source import synthesize_repo_table
+from graph_data_science_spark.streaming.ingest import (
+    merge_deltas,
+    run_incremental_ingest,
+)
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="gds_ingest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _repo_fixture(spark, n_files=48):
+    planted = [(i, (i * 7 + 3) % n_files) for i in range(n_files)] + \
+              [(i, (i * 13 + 5) % n_files) for i in range(0, n_files, 2)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in planted if a != b], "src long, dst long")
+    return synthesize_repo_table(spark, edges, n_files).drop("content_sha256")
+
+
+def test_streamed_deltas_merge_to_batch_projection(spark, workdir):
+    repos = _repo_fixture(spark).persist()
+    id_map, nodes, batch_edges = build_link_graph(repos)
+    id_map = id_map.persist()
+
+    # drop zone: the SAME rows arriving as several micro-batch files
+    drop = os.path.join(workdir, "drop")
+    repos.repartition(5).write.mode("overwrite").parquet(drop)
+    deltas_dir, pending_dir = run_incremental_ingest(
+        spark, drop, os.path.join(workdir, "out"), repos, id_map,
+        max_files_per_trigger=2)  # force multiple micro-batches
+
+    merged = {(r["src"], r["dst"]): r["weight"]
+              for r in merge_deltas(spark, deltas_dir).collect()}
+    want = {(r["src"], r["dst"]): r["weight"] for r in batch_edges.collect()}
+    assert merged == want
+    # every reference resolved against the full-projection indexes
+    assert not os.path.exists(pending_dir) or \
+        spark.read.parquet(pending_dir).isEmpty()
+    repos.unpersist()
+    id_map.unpersist()
+
+
+def test_unresolved_references_routed_to_pending(spark, workdir):
+    repos = _repo_fixture(spark, n_files=32).persist()
+    id_map, _, _ = build_link_graph(repos)
+    # cripple the id map: forget the last quarter of the files — their
+    # references must land in pending/, never silently vanish
+    known = id_map.where(F.col("node_id") < 24).persist()
+
+    drop = os.path.join(workdir, "drop")
+    repos.write.mode("overwrite").parquet(drop)
+    deltas_dir, pending_dir = run_incremental_ingest(
+        spark, drop, os.path.join(workdir, "out"), repos, known)
+
+    n_deltas = spark.read.parquet(deltas_dir).count()
+    pending = spark.read.parquet(pending_dir)
+    assert pending.count() > 0
+    assert n_deltas > 0
+    # deltas + pending cover every resolved reference pair exactly once
+    full_map, _, batch_edges = build_link_graph(repos)
+    total_refs = batch_edges.agg(F.sum("weight")).first()[0]
+    delta_refs = spark.read.parquet(deltas_dir).agg(F.sum("weight")).first()[0]
+    assert delta_refs < total_refs  # the forgotten files' refs are not there
+    repos.unpersist()
+    known.unpersist()
