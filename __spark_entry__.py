@@ -83,7 +83,9 @@ def _pagerank_sql(weighted: bool, iters: int = 19, damping: float = 0.85,
     if weighted:
         deg = "SELECT src AS node_id, SUM(weight) AS degree FROM edges WHERE weight > 0.0 GROUP BY src"
         msg = "s.delta / s.degree * e.weight"
-        esrc = "edges e"
+        # engine drops weight<=0 edges from message flow too
+        # (operators/pagerank.py:_prep_edges) — keep oracle identical
+        esrc = "(SELECT * FROM edges WHERE weight > 0.0) e"
     else:
         deg = "SELECT src AS node_id, CAST(COUNT(*) AS DOUBLE) AS degree FROM edges GROUP BY src"
         msg = "s.delta / s.degree"

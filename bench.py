@@ -38,7 +38,13 @@ from graph_data_science_spark.sources.tpch_graph import build_graph
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # parse the scale factor up front — an unparsable dir name must not
+    # crash AFTER the whole bench has run (the JSON line is the output)
+    tail = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(tail)
+    except ValueError:
+        sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]  # label, not a number
 
     spark = get_spark(app_name=f"gds-bench-sf{sf}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
@@ -125,7 +131,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
-        "sf": float(sf),
+        "sf": sf,
         "cpus": cpus,
         "n_nodes": n_nodes,
         "n_edges": n_edges,

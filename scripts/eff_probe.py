@@ -14,19 +14,9 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _run(cmd: list[str], env: dict) -> str:
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                         timeout=7200)
-    if out.returncode != 0:
-        sys.stderr.write(out.stderr[-4000:])
-        raise SystemExit(f"failed: {cmd}")
-    return out.stdout
+from _common import REPO, clean_env, last_json, run_cmd
 
 
 def main() -> None:
@@ -38,10 +28,10 @@ def main() -> None:
                               else [3, 6])]
     inp = f"/tmp/gds_eff_probe_{n_nodes}/edges.parquet"
 
-    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
-        _run([sys.executable,
-              os.path.join(REPO, "scripts", "gen_scaling_input.py"),
-              inp, n_nodes, avg_deg], dict(os.environ))
+    # sidecar-guarded: regenerates when avg_deg (not in the path) changed
+    run_cmd([sys.executable,
+             os.path.join(REPO, "scripts", "gen_scaling_input.py"),
+             inp, n_nodes, avg_deg])
 
     gc = "-XX:+UseParallelGC -Xms24g -XX:+AlwaysPreTouch"
     ratio = n_big / n_small
@@ -52,14 +42,12 @@ def main() -> None:
     for fuse in fuses:
         rec = {}
         for cpus in (n_small, n_big):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                       SPARK_GRAFT_PARTS="32", SPARK_GRAFT_FUSE=str(fuse),
-                       SPARK_GRAFT_ALGOS=algos,
-                       SPARK_DRIVER_MEMORY="24g", SPARK_GRAFT_GC=gc)
-            out = _run([sys.executable,
-                        os.path.join(REPO, "scripts", "scale_job.py"), inp], env)
-            rec[cpus] = json.loads(
-                [l for l in out.splitlines() if l.startswith("{")][-1])
+            env = clean_env(SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_PARTS=32,
+                            SPARK_GRAFT_FUSE=fuse, SPARK_GRAFT_ALGOS=algos,
+                            SPARK_DRIVER_MEMORY="24g", SPARK_GRAFT_GC=gc)
+            rec[cpus] = last_json(run_cmd(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "scale_job.py"), inp], env))
             print(json.dumps({"fuse": fuse, **rec[cpus]}), flush=True)
         eff = {name: round((rec[n_small][k] / rec[n_big][k]) / ratio, 3)
                for name, k in keys}

@@ -13,20 +13,11 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from _common import REPO, clean_env, last_json, run_cmd
+
 INPUT = "/tmp/gds_fuse_sweep/edges.parquet"
-
-
-def _run(cmd: list[str], env: dict | None = None) -> str:
-    out = subprocess.run(cmd, env=env or dict(os.environ), capture_output=True,
-                         text=True, timeout=7200)
-    if out.returncode != 0:
-        sys.stderr.write(out.stderr[-4000:])
-        raise SystemExit(f"failed: {cmd}")
-    return out.stdout
 
 
 def main() -> None:
@@ -36,21 +27,23 @@ def main() -> None:
     fuses = [int(f) for f in (sys.argv[4].split(",") if len(sys.argv) > 4
                               else [1, 3, 6])]
 
-    if not os.path.exists(os.path.join(INPUT, "_SUCCESS")):
-        _run([sys.executable,
-              os.path.join(REPO, "scripts", "gen_scaling_input.py"),
-              INPUT, n_nodes, avg_deg])
+    # gen_scaling_input's _GEN_PARAMS.json sidecar makes this a no-op when
+    # a complete same-params output already exists, and a regeneration when
+    # the path holds a graph generated with OTHER parameters
+    run_cmd([sys.executable,
+             os.path.join(REPO, "scripts", "gen_scaling_input.py"),
+             INPUT, n_nodes, avg_deg])
 
     results = {}
     for fuse in fuses:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   SPARK_GRAFT_PARTS="32", SPARK_GRAFT_FUSE=str(fuse))
+        env = clean_env(SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_PARTS=32,
+                        SPARK_GRAFT_FUSE=fuse)
         env.setdefault("SPARK_DRIVER_MEMORY", "24g")
         env.setdefault(
             "SPARK_GRAFT_GC", "-XX:+UseParallelGC -Xms24g -XX:+AlwaysPreTouch")
-        out = _run([sys.executable,
-                    os.path.join(REPO, "scripts", "scale_job.py"), INPUT], env)
-        rec = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+        rec = last_json(run_cmd(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "scale_job.py"), INPUT], env))
         rec["fuse"] = fuse
         results[fuse] = rec
         print(json.dumps(rec), flush=True)

@@ -22,20 +22,11 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from _common import REPO, clean_env, last_json, run_cmd
+
 INPUT = "/tmp/gds_scaling/edges.parquet"
-
-
-def _run(cmd: list[str], env: dict | None = None) -> str:
-    out = subprocess.run(cmd, env=env or dict(os.environ), capture_output=True,
-                         text=True, timeout=7200)
-    if out.returncode != 0:
-        sys.stderr.write(out.stderr[-4000:])
-        raise SystemExit(f"failed: {cmd}")
-    return out.stdout
 
 
 # measured on this host (docs/SCALE_NOTES.md §9): a growing 48 g heap makes
@@ -51,13 +42,15 @@ SCALE_GC = "-XX:+UseParallelGC -Xms24g -XX:+AlwaysPreTouch"
 def run_scale_job(cpus: int, parts: int = 32) -> dict:
     # fixed partition count at BOTH parallelism levels — the data layout is
     # a property of the dataset, not the cluster size; a real N → 4N
-    # executor scale-up spreads the SAME partitioning over more slots
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_PARTS=str(parts))
+    # executor scale-up spreads the SAME partitioning over more slots.
+    # clean_env scrubs leftover SPARK_GRAFT_ALGOS/PR_ITERS/FUSE shell
+    # exports so the headline run always measures the documented protocol.
+    env = clean_env(SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_PARTS=parts)
     env.setdefault("SPARK_DRIVER_MEMORY", "24g")
     env.setdefault("SPARK_GRAFT_GC", SCALE_GC)
-    out = _run([sys.executable, os.path.join(REPO, "scripts", "scale_job.py"), INPUT], env)
-    return json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    return last_json(run_cmd(
+        [sys.executable, os.path.join(REPO, "scripts", "scale_job.py"), INPUT],
+        env))
 
 
 def main() -> None:
@@ -68,23 +61,12 @@ def main() -> None:
     n_nodes = sys.argv[3] if len(sys.argv) > 3 else "8000000"
     avg_deg = sys.argv[4] if len(sys.argv) > 4 else "8"
 
-    # the generator is deterministic (seed 42), so an existing complete
-    # output for the SAME PARAMETERS is byte-equivalent — reuse it. A
-    # params sidecar guards against silently benchmarking a stale,
-    # differently-sized graph left by an earlier run.
-    params_path = os.path.join(INPUT, "_GEN_PARAMS.json")
-    want = {"n_nodes": str(n_nodes), "avg_deg": str(avg_deg)}
-    have = None
-    if os.path.exists(os.path.join(INPUT, "_SUCCESS")) and os.path.exists(params_path):
-        have = json.load(open(params_path))
-    if have != want:
-        import shutil
-        shutil.rmtree(INPUT, ignore_errors=True)
-        _run([sys.executable,
-              os.path.join(REPO, "scripts", "gen_scaling_input.py"),
-              INPUT, n_nodes, avg_deg])
-        with open(params_path, "w") as fh:
-            json.dump(want, fh)
+    # gen_scaling_input reuses an existing complete output only when its
+    # _GEN_PARAMS.json sidecar matches these parameters (deterministic
+    # seed 42 ⇒ same-params reuse is byte-equivalent)
+    run_cmd([sys.executable,
+             os.path.join(REPO, "scripts", "gen_scaling_input.py"),
+             INPUT, n_nodes, avg_deg])
 
     small = run_scale_job(n_small)
     big = run_scale_job(n_big)
@@ -92,11 +74,10 @@ def main() -> None:
     # sf0.1 bench always at the box's full width (local[32]) so §B numbers
     # stay comparable across rounds regardless of the scaling pair chosen
     bench_cpus = max(n_big, 32)
-    env01 = dict(os.environ, SPARK_GRAFT_CPUS=str(bench_cpus),
-                 SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
-    sf01 = json.loads([l for l in _run(
-        [sys.executable, os.path.join(REPO, "bench.py")], env01
-    ).splitlines() if l.startswith("{")][-1])
+    env01 = clean_env(SPARK_GRAFT_CPUS=bench_cpus,
+                      SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+    sf01 = last_json(run_cmd(
+        [sys.executable, os.path.join(REPO, "bench.py")], env01))
 
     ratio = n_big / n_small
     algos = [("pagerank", "pagerank_s"), ("pagerank_csr", "pagerank_csr_s"),

@@ -26,8 +26,13 @@ from graph_data_science_spark.session import get_spark
 def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gds_scaling/edges.parquet"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # fixed partition count regardless of thread count — the same
+    # layout-is-a-property-of-the-dataset protocol every engine scaling
+    # measurement uses (scale_job.py), so the N vs 4N substrate comparison
+    # varies ONLY parallelism, not the shuffle decomposition
+    parts = int(os.environ.get("SPARK_GRAFT_PARTS", "32"))
     spark = get_spark(app_name=f"gds-substrate-{cpus}",
-                      master=f"local[{cpus}]", shuffle_partitions=cpus)
+                      master=f"local[{cpus}]", shuffle_partitions=parts)
     edges = spark.read.parquet(path).select("src", "dst").persist()
     n = edges.count()
     best = None

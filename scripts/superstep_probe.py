@@ -24,6 +24,8 @@ from graph_data_science_spark.session import get_spark
 
 def main() -> None:
     algo = sys.argv[1] if len(sys.argv) > 1 else "pagerank"
+    if algo not in ("pagerank", "wcc"):
+        raise SystemExit(f"unknown algo {algo!r}: expected pagerank or wcc")
     path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gds_scaling/edges.parquet"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     parts = int(os.environ.get("SPARK_GRAFT_PARTS", "32"))
