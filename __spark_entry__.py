@@ -1425,6 +1425,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["label_propagation_gds_order"] = lambda s, d: label_propagation(
         build_graph(s, d), mode="batch_sequential").labels
 
+    # -- corpus pipeline decisions (round-3 additions) ------------------------
+    from graph_data_science_spark.operators.pipeline_ops import (
+        corpus_vocabulary, decontaminate, hash_split, near_duplicate_clusters,
+        tf_idf_top_terms)
+
+    q["near_duplicate_clusters"] = lambda s, d: near_duplicate_clusters(
+        _docs(s, d), num_hashes=8, bands=4)
+    q["corpus_vocabulary"] = lambda s, d: corpus_vocabulary(_docs(s, d), min_df=2)
+    q["tfidf_top_terms"] = lambda s, d: tf_idf_top_terms(_docs(s, d), k=3)
+    q["decontaminate"] = lambda s, d: decontaminate(
+        _docs(s, d), shingle_n=3, eval_mod=20)
+    q["hash_split"] = lambda s, d: hash_split(_docs(s, d))
+
     return _gate_order(q)
 
 
@@ -1445,6 +1458,9 @@ _GATE_FIRST = [
     # ivf: seeded-sample centroids)
     "astar", "dag_longest_path", "knn_embeddings", "embedding_near_duplicates",
     "kmeans", "embedding_cosine_topk_ivf",
+    # round-3 corpus-pipeline additions (all fully oracled)
+    "near_duplicate_clusters", "corpus_vocabulary", "tfidf_top_terms",
+    "decontaminate", "hash_split",
 ]
 _GATE_LAST = [
     # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
@@ -1456,6 +1472,11 @@ _GATE_LAST = [
     "fingerprint", "exact_duplicates",
     "hits", "modularity_nation", "conductance_nation", "collapse_path_2",
     "triangle_global", "local_clustering_coefficient", "degree_out",
+    # rows-only (non-oracled) entries displaced by the round-3 additions:
+    # each is pytest-covered at sf0.001 AND was manually run at sf0.01 this
+    # round (scripts/run_ungated.py) to keep the runs-at-gate-scale claim
+    "dfs", "yens_k3", "spanning_tree", "sample_cnarw",
+    "label_propagation_gds_order",
 ]
 
 
@@ -1733,5 +1754,84 @@ p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
       FROM v a JOIN v b ON a.vec_id < b.vec_id)
 SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.35"""
+
+    # -- corpus pipeline decisions (round-3 additions) ------------------------
+    # near_duplicate_clusters = LSH pairs (identical CTE chain to
+    # minhash_lsh_pairs) + unrolled min-label propagation. Rounds needed =
+    # diameter of the largest LSH cluster; LSH clusters are band-bucket
+    # near-cliques, so 8 rounds carries large margin (empirically the sf0.01
+    # pair graph converges in <=3; rounds after convergence are idempotent).
+    ndc_rounds = 8
+    ndc_parts = [f"""WITH {_shingle_cte(3).strip()},
+ks AS (SELECT doc_id, h, shingle FROM sh, (SELECT unnest(range(0, 8)) AS h) hs),
+mh AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+       FROM ks GROUP BY doc_id, h),
+bh AS (SELECT doc_id, CAST(h // 2 AS INT) AS band,
+              md5(string_agg(CAST(h AS VARCHAR) || '=' || minhash, ','
+                             ORDER BY CAST(h AS VARCHAR) || '=' || minhash)) AS bhash
+       FROM mh GROUP BY doc_id, h // 2),
+pr AS MATERIALIZED (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bh l JOIN bh r ON l.band = r.band AND l.bhash = r.bhash
+      AND l.doc_id < r.doc_id),
+ue AS MATERIALIZED (SELECT a AS src, b AS dst FROM pr
+      UNION SELECT b AS src, a AS dst FROM pr),
+c0 AS MATERIALIZED (SELECT doc_id AS node_id, doc_id AS component FROM documents),"""]
+    for k in range(1, ndc_rounds + 1):
+        ndc_parts.append(
+            f"c{k} AS MATERIALIZED (SELECT node_id, MIN(component) AS component FROM ("
+            f"SELECT node_id, component FROM c{k-1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node_id, s.component FROM ue e JOIN c{k-1} s ON e.src = s.node_id"
+            f") GROUP BY node_id),")
+    o["near_duplicate_clusters"] = (
+        "\n".join(ndc_parts).rstrip(",") + "\n"
+        f"SELECT node_id AS doc_id, component AS cluster_id, "
+        f"node_id <> component AS is_duplicate FROM c{ndc_rounds}")
+
+    o["corpus_vocabulary"] = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS token FROM w)
+SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
+FROM t WHERE token <> '' GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 2"""
+
+    o["tfidf_top_terms"] = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS token FROM w),
+t2 AS (SELECT doc_id, token FROM t WHERE token <> ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tc FROM t2 GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.token,
+              ROUND((CAST(tf.tc AS DOUBLE) / dl.dl)
+                    * (ln((nd.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+       FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+               JOIN df ON tf.token = df.token, nd),
+rk AS (SELECT doc_id, token, tfidf,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token ASC) AS "rank"
+       FROM sc)
+SELECT doc_id, token, tfidf, CAST("rank" AS BIGINT) AS "rank"
+FROM rk WHERE "rank" <= 3"""
+
+    o["decontaminate"] = f"""
+WITH {_shingle_cte(3).strip()},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+hits AS (SELECT tr.doc_id, COUNT(*) AS n_overlap
+         FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id)
+SELECT d.doc_id, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+    # hash_split boundaries use the Python-double values (train, train+val)
+    # verbatim so the CASE thresholds are bit-identical to the engine's
+    o["hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_u01_sql("doc_id", "'split'", "42")} < {0.8!r} THEN 'train'
+            WHEN {_u01_sql("doc_id", "'split'", "42")} < {(0.8 + 0.1)!r} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
 
     return o

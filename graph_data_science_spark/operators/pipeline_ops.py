@@ -1,0 +1,209 @@
+"""Corpus-level training-data pipeline operators.
+
+These close the loop from *signals* (dedup pairs, token stats) to the
+*decisions* a 100 TB pretraining pipeline actually ships: which documents
+to keep, which are benchmark-contaminated, how the corpus splits into
+train/val/test, and what the tokenizer-facing vocabulary looks like.
+
+Composition over invention: ``near_duplicate_clusters`` chains the engine's
+own MinHash-LSH candidate generator (``dedup.minhash_lsh_pairs``) into its
+own connected-components operator (``wcc``) — the standard fuzzy-dedup
+recipe (pairs → components → keep one canonical doc per cluster) used by
+every large-corpus pipeline since C4/The Pile.
+
+Scale notes:
+- every operator here is pure ``pyspark.sql.functions`` (whole-stage
+  codegen) except the WCC leg, which is the engine's superstep kernel;
+- the LSH pair graph is tiny relative to the corpus (candidate pairs only),
+  so the components step runs on the *pair* graph, never the corpus;
+- vocabulary/tf-idf are two partial-aggregatable ``groupBy``s — shuffle
+  volume is #distinct tokens, not corpus size;
+- decontamination semi-joins train shingles against the (much smaller)
+  eval shingle set — broadcast-able when the eval benchmark fits in memory
+  (the common case: benchmarks are MBs, the corpus is TBs).
+
+Every operator has a bit-identical DuckDB oracle in ``__spark_entry__.py``
+(md5-based hashing, ROUND 6dp floats, deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.operators.dedup import _norm, _word_shingles, minhash_lsh_pairs
+from graph_data_science_spark.operators.wcc import wcc
+
+
+def near_duplicate_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Fuzzy-dedup decision table → ``(doc_id, cluster_id, is_duplicate)``.
+
+    MinHash-LSH candidate pairs → connected components over the pair graph
+    → ``cluster_id`` = min doc_id in the component; ``is_duplicate`` is true
+    iff the doc is not its cluster's canonical (lowest-id) member. Docs with
+    no near-dup candidate are their own singleton cluster. Downstream:
+    ``WHERE NOT is_duplicate`` is the dedup filter.
+
+    Reference analog: this is ``gds.wcc`` (wcc/Wcc.java) applied to a
+    similarity graph — the reference's own suggested dedup recipe (its WCC
+    docs use exactly this entity-resolution framing).
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    nodes = docs.select(F.col(id_col).alias("node_id"))
+    g = Graph(nodes=nodes,
+              edges=pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+              directed=True, name="lsh-pairs")
+    comp = wcc(g).components
+    return comp.select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node_id") != F.col("component")).alias("is_duplicate"),
+    )
+
+
+def corpus_vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Tokenizer-facing corpus vocabulary → ``(token, doc_freq, term_freq)``.
+
+    Whitespace tokens of the normalized text (lower + collapsed whitespace,
+    the same normalization as the dedup ladder); ``doc_freq`` = #docs
+    containing the token, ``term_freq`` = total occurrences. Rows with
+    ``doc_freq < min_df`` are dropped (the long-tail cut every tokenizer
+    build applies). Empty-text docs contribute nothing.
+
+    Both aggregates are partial-aggregatable: the map-side combiner reduces
+    per-partition to #distinct tokens before the single shuffle.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"),
+             F.count(F.lit(1)).alias("term_freq"))
+        .where(F.col("doc_freq") >= int(min_df))
+    )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document → ``(doc_id, token, tfidf, rank)``.
+
+    tf = occurrences / doc token count; idf = ln((N + 1)/(df + 1)) + 1
+    (smoothed, sklearn-style); tfidf ROUND 6dp (the cross-engine float
+    contract). Rank by (tfidf desc, token asc) — fully deterministic ties.
+    Docs with no tokens produce no rows.
+
+    Plan: two partial aggs (term counts, doc lengths) + one broadcast-sized
+    df join (vocabulary is small vs corpus) + a per-doc top-k window.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tc"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df_), "token")
+        .select(
+            "doc_id", "token",
+            F.round(
+                (F.col("tc") / F.col("dl"))
+                * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    eval_mod: int = 20,
+    threshold: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination scan → ``(doc_id, n_overlap, contaminated)``
+    for every TRAIN document.
+
+    The held-out eval split is ``doc_id % eval_mod == 0`` (a deterministic
+    stand-in for a benchmark suite); a train doc is contaminated when it
+    shares ≥ ``threshold`` distinct word ``shingle_n``-grams with ANY eval
+    doc. ``n_overlap`` counts the distinct overlapping shingles. Train docs
+    with no overlap are kept with ``n_overlap = 0``.
+
+    Plan: eval shingles deduped then broadcast into a semi-join-shaped
+    inner join — at real scale the benchmark side is MBs against a TB
+    corpus, so the scan is one broadcast pass over train shingles.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    is_eval = F.col("doc_id") % int(eval_mod) == 0
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    train_sh = sh.where(~is_eval)
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    train_ids = docs.select(F.col(id_col).alias("doc_id")).where(~is_eval).distinct()
+    return train_ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= int(threshold)).alias("contaminated"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    train: float = 0.8,
+    val: float = 0.1,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment → ``(doc_id, split)``.
+
+    u = hash-uniform(doc_id, seed) ∈ [0,1) (md5 top-60-bits — the engine's
+    portable ``_u01``); split = train if u < ``train``, val if
+    u < ``train``+``val``, else test. Stable under reshuffles, re-runs and
+    cluster-size changes — the property a corpus split must have so that
+    re-ingesting new shards never migrates old documents across splits.
+    """
+    from graph_data_science_spark.operators.embeddings import _u01
+
+    u = _u01(F.col(id_col), F.lit("split"), F.lit(int(seed)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(u < float(train), F.lit("train"))
+        .when(u < float(train) + float(val), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -1,0 +1,118 @@
+"""Semantic tests for the corpus-pipeline decision operators.
+
+The DuckDB hash-equality gate lives in test_entry_oracle.py (these five ops
+are fully oracled); here we pin the *semantics* on hand-built corpora:
+duplicates cluster together, contamination flags fire exactly on shared
+n-grams, splits are stable and exhaustive.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.pipeline_ops import (
+    corpus_vocabulary,
+    decontaminate,
+    hash_split,
+    near_duplicate_clusters,
+    tf_idf_top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 0/1: identical long docs; 2: one word changed (near-dup of 0/1)
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+        # 3: unrelated
+        (3, "one two three four five six seven eight nine ten"),
+        # 4: unrelated, shares zero 3-grams with everything
+        (4, "red green blue cyan magenta yellow black white gray pink"),
+        # 20: eval-split member (doc_id % 20 == 0 handled via id 40 below)
+        (40, "one two three four five sixty seventy eighty ninety hundred"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_near_duplicate_clusters_groups_near_dups(docs):
+    res = near_duplicate_clusters(docs).orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: r for r in res}
+    # every doc appears exactly once
+    assert sorted(by_id) == [0, 1, 2, 3, 4, 40]
+    # identical docs 0/1 share a cluster rooted at the min id
+    assert by_id[1]["cluster_id"] == by_id[0]["cluster_id"] == 0
+    assert not by_id[0]["is_duplicate"] and by_id[1]["is_duplicate"]
+    # near-dup 2 joins the same cluster (9/10 shared words -> shared bands)
+    assert by_id[2]["cluster_id"] == 0 and by_id[2]["is_duplicate"]
+    # unrelated docs are singleton canonicals
+    for i in (3, 4, 40):
+        assert by_id[i]["cluster_id"] == i and not by_id[i]["is_duplicate"]
+
+
+def test_near_duplicate_clusters_keep_filter(docs):
+    kept = (near_duplicate_clusters(docs)
+            .where(~F.col("is_duplicate")).select("doc_id").collect())
+    assert sorted(r["doc_id"] for r in kept) == [0, 3, 4, 40]
+
+
+def test_corpus_vocabulary_counts(docs):
+    vocab = {r["token"]: r for r in corpus_vocabulary(docs, min_df=1).collect()}
+    assert vocab["alpha"]["doc_freq"] == 3 and vocab["alpha"]["term_freq"] == 3
+    assert vocab["one"]["doc_freq"] == 2
+    assert vocab["mu"]["doc_freq"] == 1
+    # min_df prunes the long tail
+    vocab2 = {r["token"] for r in corpus_vocabulary(docs, min_df=2).collect()}
+    assert "alpha" in vocab2 and "mu" not in vocab2
+
+
+def test_corpus_vocabulary_empty_text(spark):
+    d = spark.createDataFrame([(1, ""), (2, "  "), (3, "x")], ["doc_id", "text"])
+    rows = corpus_vocabulary(d).collect()
+    assert len(rows) == 1 and rows[0]["token"] == "x"
+
+
+def test_tfidf_rare_term_ranks_first(docs):
+    top = tf_idf_top_terms(docs, k=1).collect()
+    by_id = {r["doc_id"]: r for r in top}
+    # doc 2's distinguishing term is 'mu' (df=1 vs df=3 for the shared words)
+    assert by_id[2]["token"] == "mu"
+    # rank column is 1-based and capped at k
+    assert all(r["rank"] == 1 for r in top)
+    # k=3 returns 3 rows per doc (every doc has >=3 distinct tokens)
+    assert tf_idf_top_terms(docs, k=3).groupBy("doc_id").count() \
+        .where(F.col("count") != 3).count() == 0
+
+
+def test_decontaminate_flags_shared_ngrams(docs):
+    # eval split = doc_id % 20 == 0 -> docs 0 and 40 are "the benchmark"
+    res = {r["doc_id"]: r for r in decontaminate(docs, shingle_n=3).collect()}
+    # eval docs themselves are excluded from the output
+    assert 0 not in res and 40 not in res
+    # doc 1 is identical to eval doc 0 -> all 8 of its 3-grams overlap
+    assert res[1]["contaminated"] and res[1]["n_overlap"] == 8
+    # doc 2 shares the first 7 3-grams with doc 0
+    assert res[2]["contaminated"] and res[2]["n_overlap"] == 7
+    # doc 3 shares 'one two three'..'four five six'? no: eval 40 has
+    # 'one two three four five sixty...' -> shared 3-grams are
+    # 'one two three', 'two three four', 'three four five' = 3
+    assert res[3]["contaminated"] and res[3]["n_overlap"] == 3
+    assert not res[4]["contaminated"] and res[4]["n_overlap"] == 0
+
+
+def test_hash_split_stable_and_exhaustive(spark):
+    d = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(d).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in
+          hash_split(d.repartition(7)).collect()}
+    assert s1 == s2  # layout-independent
+    assert set(s1.values()) == {"train", "val", "test"}
+    n = len(s1)
+    frac_train = sum(v == "train" for v in s1.values()) / n
+    frac_val = sum(v == "val" for v in s1.values()) / n
+    assert 0.75 < frac_train < 0.85
+    assert 0.06 < frac_val < 0.14
+    # adding docs never moves existing ones (the append-stability property)
+    d2 = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    s3 = {r["doc_id"]: r["split"] for r in hash_split(d2).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
