@@ -1337,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sssp_weighted"] = lambda s, d: shortest_paths(
         build_graph(s, d), source=1, weighted=True).distances
     q["dag_levels"] = lambda s, d: dag_levels(build_graph(s, d))
+    from graph_data_science_spark.operators.paths import topological_sort
+    q["dag_topological_sort"] = lambda s, d: topological_sort(build_graph(s, d))
     q["k_core_3"] = lambda s, d: k_core(build_graph(s, d), k=3)
     q["coreness"] = lambda s, d: coreness(build_graph(s, d))
 
@@ -1461,6 +1463,8 @@ _GATE_FIRST = [
     # round-3 corpus-pipeline additions (all fully oracled)
     "near_duplicate_clusters", "corpus_vocabulary", "tfidf_top_terms",
     "decontaminate", "hash_split",
+    # round-3 parity addition (canonical deterministic order over dag_levels)
+    "dag_topological_sort",
 ]
 _GATE_LAST = [
     # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
@@ -1477,6 +1481,9 @@ _GATE_LAST = [
     # round (scripts/run_ungated.py) to keep the runs-at-gate-scale claim
     "dfs", "yens_k3", "spanning_tree", "sample_cnarw",
     "label_propagation_gds_order",
+    # r02-gated green; only round-3 change to degree.py is an error-path
+    # reorder (review batch 2), hot path untouched
+    "degree_in_weighted",
 ]
 
 
@@ -1580,6 +1587,13 @@ WHERE a.src <> b.dst"""
     o["bfs"] = _bfs_sql(source=1)
     o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
     o["dag_levels"] = _dag_levels_sql()
+    # topo rank = ROW_NUMBER over the canonical (level, node_id) order, on
+    # the same unrolled level computation
+    _dl = _dag_levels_sql()
+    o["dag_topological_sort"] = (
+        "WITH dl AS (\n" + _dl + "\n)\n"
+        "SELECT node_id, CAST(ROW_NUMBER() OVER (ORDER BY level, node_id) - 1 "
+        "AS BIGINT) AS topo_rank FROM dl")
     o["astar"] = _astar_sql(source=1)
     o["dag_longest_path"] = _dag_longest_path_sql()
     o["k_core_3"] = _kcore_sql(3)

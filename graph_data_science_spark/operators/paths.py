@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from graph_data_science_spark.graph import Graph
 from graph_data_science_spark.plans.partitioning import shuffle_hash
@@ -531,6 +531,39 @@ def dag_levels(graph: Graph, max_iterations: int = 100) -> DataFrame:
         raise ValueError(
             f"dag_levels did not converge in {max_iterations} iterations — graph has a cycle")
     return res.state.select("node_id", "level")
+
+
+def topological_sort(graph: Graph, max_iterations: int = 100) -> DataFrame:
+    """``gds.dag.topologicalSort`` analog → (node_id, topo_rank).
+
+    Reference semantics (dag/topologicalsort/TopologicalSort.java): emit the
+    DAG's nodes in a valid dependency order; the reference's order is
+    thread-schedule-dependent (its tests assert validity, not an exact
+    sequence). This engine pins the CANONICAL valid order — (level, node_id)
+    ascending over :func:`dag_levels` — so results are deterministic,
+    parallelism-independent, and SQL-oracle-checkable. Raises on cyclic
+    input (the reference's DAG validation), inherited from dag_levels.
+
+    Scale shape: the ranking is per-level `row_number` (window PARTITIONED
+    by level — no global single-partition sort) plus a broadcast cumulative
+    level-offset join; level count is bounded by the longest chain, so the
+    offset table is tiny at any corpus size.
+    """
+    lv = dag_levels(graph, max_iterations)
+    within = F.row_number().over(
+        Window.partitionBy("level").orderBy("node_id")) - 1
+    per_level = lv.groupBy("level").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = per_level.select(
+        "level",
+        (F.sum("_n").over(
+            Window.orderBy("level").rowsBetween(Window.unboundedPreceding, -1))
+         ).alias("_off")).fillna({"_off": 0})
+    return (
+        lv.withColumn("_r", within)
+        .join(F.broadcast(offsets), "level")
+        .select("node_id",
+                (F.col("_off") + F.col("_r")).cast("long").alias("topo_rank"))
+    )
 
 
 def dag_longest_path(graph: Graph, weighted: bool = True,

@@ -204,3 +204,37 @@ def test_astar_null_target_coordinates_raise(spark):
     with pytest.raises(ValueError, match="NULL"):
         astar(g, 0, 1, latitude_property="latitude",
               longitude_property="longitude")
+
+
+def test_topological_sort_validity_and_determinism(spark):
+    from graph_data_science_spark.operators.paths import topological_sort
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node_id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 3, 1.0), (3, 4, 1.0), (4, 2, 1.0),
+         (5, 6, 1.0)],
+        "src long, dst long, weight double")
+    g = Graph(nodes=nodes, edges=edges)
+    out = topological_sort(g)
+    ranks = {r["node_id"]: r["topo_rank"] for r in out.collect()}
+    # a permutation of 0..n-1
+    assert sorted(ranks.values()) == list(range(7))
+    # valid dependency order: every edge goes forward
+    for s, d in [(0, 1), (1, 2), (0, 3), (3, 4), (4, 2), (5, 6)]:
+        assert ranks[s] < ranks[d]
+    # canonical (level, node_id) order: level-0 nodes {0,5} rank first by id
+    assert ranks[0] == 0 and ranks[5] == 1
+    # layout-independent
+    g2 = Graph(nodes=nodes.repartition(5), edges=edges.repartition(3))
+    ranks2 = {r["node_id"]: r["topo_rank"]
+              for r in topological_sort(g2).collect()}
+    assert ranks2 == ranks
+
+
+def test_topological_sort_cycle_raises(spark):
+    from graph_data_science_spark.operators.paths import topological_sort
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "node_id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="cycle"):
+        topological_sort(Graph(nodes=nodes, edges=edges), max_iterations=10)
