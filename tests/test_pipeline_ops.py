@@ -116,3 +116,68 @@ def test_hash_split_stable_and_exhaustive(spark):
     d2 = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
     s3 = {r["doc_id"]: r["split"] for r in hash_split(d2).collect()}
     assert all(s3[k] == v for k, v in s1.items())
+
+
+# --- property: clusters == union-find over the pair graph --------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_PSETTINGS = dict(
+    max_examples=5, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+          "eta", "theta", "iota", "kappa", "lam", "mu"]
+
+
+@st.composite
+def corpora(draw):
+    """Random small corpora with planted duplicate families: each doc is a
+    base sequence with 0-2 word substitutions, so LSH pairs arise naturally."""
+    n = draw(st.integers(min_value=3, max_value=10))
+    docs = []
+    for i in range(n):
+        base = draw(st.integers(0, 2))           # 3 template families
+        words = list(_WORDS[base: base + 8])
+        for _ in range(draw(st.integers(0, 2))):  # perturb 0-2 positions
+            pos = draw(st.integers(0, 7))
+            words[pos] = draw(st.sampled_from(_WORDS))
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+class _DSU:
+    def __init__(self, n):
+        self.p = list(range(n))
+
+    def find(self, x):
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+@given(corpora())
+@settings(**_PSETTINGS)
+def test_near_duplicate_clusters_equals_union_find(spark, corpus):
+    """cluster_id must equal min-id union-find over the engine's OWN LSH
+    pairs — an algorithmically independent reduction (path-compressed DSU
+    vs iterative min-label propagation)."""
+    from graph_data_science_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.createDataFrame(corpus, ["doc_id", "text"])
+    pairs = [(r["a"], r["b"]) for r in
+             minhash_lsh_pairs(d, num_hashes=8, bands=4).collect()]
+    dsu = _DSU(len(corpus))
+    for a, b in pairs:
+        dsu.union(a, b)
+    # DSU roots are min ids because union always parents the larger root
+    expected = {i: dsu.find(i) for i in range(len(corpus))}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_duplicate_clusters(d, num_hashes=8, bands=4).collect()}
+    assert got == expected
