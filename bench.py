@@ -114,6 +114,15 @@ def main() -> None:
     minhash_lsh_pairs(docs, num_hashes=8, bands=4).count()
     timings["minhash_lsh"] = time.monotonic() - t0
 
+    # round-3 headline addition: the end-to-end dedup DECISION
+    # (LSH pairs -> WCC over the pair graph -> keep/drop table)
+    from graph_data_science_spark.operators.pipeline_ops import (
+        near_duplicate_clusters)
+    t0 = time.monotonic()
+    (near_duplicate_clusters(docs, num_hashes=8, bands=4)
+     .agg(F.sum(F.col("is_duplicate").cast("long"))).first())
+    timings["near_dup_clusters"] = time.monotonic() - t0
+
     t0 = time.monotonic()
     token_count(docs).agg(F.sum("n_tokens")).first()
     quality_score(docs).agg(F.avg("quality")).first()
