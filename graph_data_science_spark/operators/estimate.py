@@ -374,6 +374,63 @@ def cosine_topk_ivf_spark_bytes(vector_count: int, dim: int, k: int,
     }
 
 
+def near_dup_clusters_spark_bytes(doc_count: int, num_hashes: int = 8,
+                                  bands: int = 4,
+                                  avg_pairs_per_doc: float = 1.0) -> dict:
+    """MinHash signatures + banded LSH pair-gen + WCC over the pair graph
+    (operators/pipeline_ops.py:near_duplicate_clusters). In the near-dup
+    regime the pair graph is sparse — ``avg_pairs_per_doc`` edges per doc —
+    so WCC state is per-doc, never per-pair-squared."""
+    mh = minhash_spark_bytes(doc_count, num_hashes, bands)
+    pair_edges = int(doc_count * avg_pairs_per_doc)
+    wcc = wcc_spark_bytes(doc_count, pair_edges)
+    return {
+        "signature_bytes": mh["signature_bytes"],
+        "band_shuffle_bytes": mh["band_shuffle_bytes"],
+        "wcc_state_bytes": wcc["state_bytes"],
+        "wcc_message_bytes_per_superstep": wcc["message_bytes_per_superstep"],
+        "state_bytes": mh["signature_bytes"] + wcc["state_bytes"],
+    }
+
+
+def corpus_vocabulary_spark_bytes(doc_count: int, avg_tokens: int = 512,
+                                  vocab_size: int = 1_000_000) -> dict:
+    """Two partial-aggregatable groupBys over exploded tokens
+    (pipeline_ops.py:corpus_vocabulary): the shuffle carries one
+    (token, partial-count) row per distinct token per map partition —
+    vocab-sized, not occurrence-sized."""
+    return {
+        "token_scan_bytes": _state(doc_count * avg_tokens, 2),
+        "shuffle_bytes": _state(vocab_size, 3),
+        "state_bytes": _state(vocab_size, 3),
+    }
+
+
+def tfidf_spark_bytes(doc_count: int, avg_tokens: int = 512,
+                      vocab_size: int = 1_000_000, k: int = 5) -> dict:
+    """tf groupBy (occurrence-sized shuffle, partial-agg combined) + a
+    broadcast of the df table + per-doc top-k (pipeline_ops.py:
+    tf_idf_top_terms)."""
+    return {
+        "tf_shuffle_bytes": _state(doc_count * avg_tokens, 3),
+        "df_broadcast_bytes": _state(vocab_size, 2),
+        "state_bytes": _state(doc_count * k, 3),
+    }
+
+
+def decontaminate_spark_bytes(train_doc_count: int,
+                              eval_doc_count: int = 1000,
+                              avg_shingles: int = 64) -> dict:
+    """Broadcast semi-join of train shingles against the (small) eval-set
+    shingle table (pipeline_ops.py:decontaminate); admission hinges on the
+    broadcast side fitting one executor, never on the train side."""
+    return {
+        "train_shingle_scan_bytes": _state(train_doc_count * avg_shingles, 2),
+        "eval_broadcast_bytes": _state(eval_doc_count * avg_shingles, 1),
+        "state_bytes": _state(train_doc_count, 2),
+    }
+
+
 def sessionize_spark_bytes(event_count: int, user_count: int) -> dict:
     return {
         "state_bytes": _state(user_count, 4),  # open session per key (bounded)
@@ -440,6 +497,10 @@ _SPARK_ESTIMATORS = {
     "cosine_topk_ivf": cosine_topk_ivf_spark_bytes,
     "sessionize": sessionize_spark_bytes,
     "windowed_counts": windowed_counts_spark_bytes,
+    "near_dup_clusters": near_dup_clusters_spark_bytes,
+    "corpus_vocabulary": corpus_vocabulary_spark_bytes,
+    "tfidf": tfidf_spark_bytes,
+    "decontaminate": decontaminate_spark_bytes,
 }
 
 #: every __spark_entry__.queries() key → its estimator family; the breadth
@@ -484,6 +545,12 @@ ESTIMATOR_FOR_QUERY = {
     "embedding_cosine_topk_ivf": "cosine_topk_ivf",
     "knn_embeddings": "knn",
     "spanning_tree": "spanning_tree", "sample_cnarw": "random_walks",
+    "near_duplicate_clusters": "near_dup_clusters",
+    "corpus_vocabulary": "corpus_vocabulary",
+    "tfidf_top_terms": "tfidf",
+    "decontaminate": "decontaminate",
+    "hash_split": "text_scan",               # one linear scan + hash, per-doc state
+    "dag_topological_sort": "dag_levels",    # same level-relaxation kernel
 }
 
 

@@ -191,6 +191,10 @@ def test_estimate_new_families_run():
         ("cosine_topk_ivf", dict(vector_count=1000, dim=16, k=3)),
         ("sessionize", dict(event_count=10000, user_count=100)),
         ("windowed_counts", dict(event_count=10000, windows=24, keys=10)),
+        ("near_dup_clusters", dict(doc_count=500)),
+        ("corpus_vocabulary", dict(doc_count=500, vocab_size=2000)),
+        ("tfidf", dict(doc_count=500, vocab_size=2000)),
+        ("decontaminate", dict(train_doc_count=500, eval_doc_count=50)),
     ]:
         out = estimate(algo, **kw)
         assert out and all(v > 0 for v in out.values()), algo
