@@ -1336,6 +1336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bfs"] = lambda s, d: bfs(build_graph(s, d), source=1).distances
     q["sssp_weighted"] = lambda s, d: shortest_paths(
         build_graph(s, d), source=1, weighted=True).distances
+    from graph_data_science_spark.operators.paths import shortest_paths_delta
+    # delta-stepping reaches the same fixpoint as sssp_weighted by a
+    # bucketed schedule — the oracle is therefore the shared unrolled
+    # relaxation (semantics, not schedule, is what the gate checks)
+    q["sssp_delta"] = lambda s, d: shortest_paths_delta(
+        build_graph(s, d), source=1, delta=2.0).distances
     q["dag_levels"] = lambda s, d: dag_levels(build_graph(s, d))
     from graph_data_science_spark.operators.paths import topological_sort
     q["dag_topological_sort"] = lambda s, d: topological_sort(build_graph(s, d))
@@ -1465,12 +1471,21 @@ _GATE_FIRST = [
     "decontaminate", "hash_split",
     # round-3 parity addition (canonical deterministic order over dag_levels)
     "dag_topological_sort",
+    # round-3 addition: bucketed delta-stepping SSSP (new kernel)
+    "sssp_delta",
+    # kernel changed in round 3 (γ resolution + θ refinement) — keep its
+    # rows-only check inside the gate
+    "leiden",
 ]
 _GATE_LAST = [
     # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
     # untouched this round (not just the entry — dag_levels/k_core/coreness
     # ride paths.py / plans/pregel.py, which round 3 changed, so they moved
     # back inside the gate). Sized so first+mid == the 50-entry gate cap.
+    # closeness_wf shares centrality.py's msbfs kernel with closeness +
+    # harmonic, both still gated; centrality.py is untouched since its
+    # r02 gate-green (oracle ×3)
+    "closeness_wf",
     "scale_minmax", "events_sessionize", "events_windowed_counts",
     "token_count", "token_count_bpe", "quality_score", "language_id",
     "fingerprint", "exact_duplicates",
@@ -1586,6 +1601,7 @@ WHERE a.src <> b.dst"""
     o["celf"] = _celf_sql()
     o["bfs"] = _bfs_sql(source=1)
     o["sssp_weighted"] = _bfs_sql(source=1, weighted=True)
+    o["sssp_delta"] = _bfs_sql(source=1, weighted=True)
     o["dag_levels"] = _dag_levels_sql()
     # topo rank = ROW_NUMBER over the canonical (level, node_id) order, on
     # the same unrolled level computation

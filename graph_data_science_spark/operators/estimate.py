@@ -551,6 +551,7 @@ ESTIMATOR_FOR_QUERY = {
     "decontaminate": "decontaminate",
     "hash_split": "text_scan",               # one linear scan + hash, per-doc state
     "dag_topological_sort": "dag_levels",    # same level-relaxation kernel
+    "sssp_delta": "sssp",                    # same state; banded frontier schedule
 }
 
 

@@ -217,15 +217,50 @@ def _local_move(adj, sup_nodes, k, m, max_iterations, n_classes, scratch,
     Convergence checks the block-accumulated per-node moved bit: a strict
     improvement rule makes a converged assignment a fixpoint, so a block
     straddling convergence runs identity sub-rounds and the result is
-    bit-identical to the unfused schedule."""
+    bit-identical to the unfused schedule.
+
+    Fusion is SIZE-gated with the AQE toggle as a package (``fuse=0`` =
+    truncate per sub-round): below the gate AQE stays on, AQE defeats the
+    ReuseExchange dedup that makes chained sub-rounds cheap, so a fused
+    block replays its predecessor's exchanges ~5× — at sf0.1 the unfused
+    schedule is what the per-sub-round convergence check wants anyway
+    (measured r2: 26.6 s unfused vs 31.8–35.7 s fused at 600k edges).
+    An explicit ``fuse`` argument or SPARK_GRAFT_FUSE env bypasses the
+    gate (the sweep/probe scripts set it deliberately)."""
     if fuse is None:
-        fuse = max(1, int(os.environ.get("SPARK_GRAFT_FUSE", "3")) // max(1, n_classes))
+        env = os.environ.get("SPARK_GRAFT_FUSE")
+        if env is not None:
+            fuse = max(1, int(env) // max(1, n_classes))
+        elif not scratch.aqe_off:
+            fuse = 0  # below the size gate: per-sub-round truncation
+        else:
+            fuse = 1
     comm = sup_nodes.select("node_id", F.col("node_id").alias("comm"))
     comm = scratch.truncate(comm, "comm")
     from pyspark.sql import Observation
     total = 0
     it = 0
     moves = 0
+    if int(fuse) == 0:
+        # unfused schedule: one truncate/Observation per sub-round;
+        # convergence = a whole iteration (all classes) with zero moves
+        while it < max_iterations:
+            iter_moves = 0
+            for p in range(n_classes):
+                new = comm.select("node_id", "comm",
+                                  F.lit(0).cast("int").alias("_mvd"))
+                new = _sub_round(adj, new, k, m, p, n_classes, gamma)
+                obs = Observation()
+                new = new.observe(obs, F.sum("_mvd").alias("moves"))
+                new = scratch.truncate(new, "comm")
+                iter_moves += int(obs.get["moves"] or 0)
+                comm = new.select("node_id", "comm")
+            moves = iter_moves
+            total += iter_moves
+            it += 1
+            if iter_moves == 0:
+                break
+        return comm, total, it, moves == 0
     while it < max_iterations:
         blk = min(int(fuse), max_iterations - it)
         new = comm.select("node_id", "comm", F.lit(0).cast("int").alias("_mvd"))

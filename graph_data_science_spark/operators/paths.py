@@ -94,6 +94,125 @@ def shortest_paths(graph: Graph, source: int, weighted: bool = True,
     return _frontier_min(graph, init, relax, max_iterations, weighted=weighted)
 
 
+def shortest_paths_delta(graph: Graph, source: int, delta: float = 2.0,
+                         weighted: bool = True,
+                         max_iterations: int = 10_000) -> PathResult:
+    """``gds.allShortestPaths.delta`` analog — bucketed Meyer–Sanders
+    delta-stepping (reference: paths/delta/DeltaStepping.java:54; default
+    delta = 2.0 per config/AllShortestPathsDeltaBaseConfig.java:33).
+
+    Same fixpoint as :func:`shortest_paths` (identical distances; the
+    oracle is shared), but the relaxation SCHEDULE processes distance
+    ranges in Δ-width buckets: within bucket b only LIGHT edges (w < Δ)
+    relax, repeatedly, from pending nodes whose tentative distance lies in
+    [bΔ, (b+1)Δ); when the bucket drains, HEAVY edges (w ≥ Δ) relax once
+    from exactly the nodes settled in that bucket, and the loop jumps to
+    the next non-empty bucket. Why it matters at scale: Bellman-Ford
+    re-relaxes the whole live frontier every superstep; here the frontier
+    is one distance band, so total edge relaxations approach one light
+    pass per band plus one heavy pass per settled node — the reference's
+    parallel-work bound.
+
+    Spark plan per phase (identical shape to _frontier_min): frontier
+    filter (bucket bounds + pending bit, both codegen'd) → edge join
+    (shuffle-hash on the small frontier side) → min partial-agg → state
+    left-join; the drain/next-bucket aggregates ride the scratch write via
+    Observation, one job per phase, no per-row Python. Buckets with no
+    pending member are skipped outright (the Observation returns the next
+    non-empty index), so sparse distance distributions don't pay empty
+    supersteps."""
+    if weighted and not graph.has_weight():
+        raise ValueError("weighted shortest paths require edges.weight")
+    d = float(delta)
+    if not d > 0.0:
+        raise ValueError("delta must be > 0")
+    from pyspark.sql import Observation
+
+    from graph_data_science_spark.operators.louvain import _Scratch
+    spark = graph.nodes.sparkSession
+    w = F.col("weight") if weighted else F.lit(1.0)
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = graph.edges.select(*cols)
+    light = edges.where(w < F.lit(d)).persist()
+    heavy = edges.where(w >= F.lit(d)).persist()
+
+    scratch = _Scratch(spark)
+    try:
+        state = scratch.truncate(
+            graph.nodes.select(
+                "node_id",
+                F.when(F.col("node_id") == int(source), F.lit(0.0))
+                .otherwise(F.lit(_INF)).alias("dist"),
+                (F.col("node_id") == int(source)).cast("int").alias("_pend"),
+            ), "st")
+        # pending nodes always carry finite dist (the bit is only ever set
+        # by a finite relaxation), so the bucket min never sees inf
+        bucket_of = F.floor(F.col("dist") / F.lit(d))
+        row = state.agg(
+            F.min(F.when(F.col("_pend") == 1, bucket_of)).alias("b")).first()
+        b = row["b"]
+        ran = 0
+        while b is not None and ran < max_iterations:
+            in_b = bucket_of == int(b)
+
+            def _phase(edge_set, frontier_pred, clear_frontier: bool):
+                frontier = shuffle_hash(
+                    state.where(frontier_pred).select(
+                        F.col("node_id").alias("_n"),
+                        F.col("dist").alias("_d")))
+                cand = (edge_set.join(frontier, edge_set.src == F.col("_n"),
+                                      "inner")
+                        .select(F.col("dst"), (F.col("_d") + w).alias("_c"))
+                        .groupBy("dst").agg(F.min("_c").alias("_best")))
+                joined = state.join(shuffle_hash(cand),
+                                    state.node_id == cand.dst, "left")
+                new_dist = F.least(
+                    F.col("dist"), F.coalesce(F.col("_best"), F.col("dist")))
+                improved = new_dist < F.col("dist")
+                pend = F.when(improved, F.lit(1))
+                if clear_frontier:
+                    pend = pend.when(frontier_pred, F.lit(0))
+                new = joined.select(
+                    state.node_id, new_dist.alias("dist"),
+                    pend.otherwise(F.col("_pend")).cast("int").alias("_pend"))
+                obs = Observation()
+                new = new.observe(
+                    obs,
+                    F.sum(F.when((F.col("_pend") == 1)
+                                 & (F.floor(F.col("dist") / F.lit(d))
+                                    == int(b)), 1)
+                          .otherwise(0)).alias("in_bucket"),
+                    F.min(F.when(F.col("_pend") == 1,
+                                 F.floor(F.col("dist") / F.lit(d))))
+                    .alias("next_b"))
+                return scratch.truncate(new, "st"), obs.get
+
+            # LIGHT: drain the bucket (relaxed nodes clear their pending
+            # bit; re-improved ones re-enter)
+            drained = False
+            while not drained and ran < max_iterations:
+                state, met = _phase(
+                    light, (F.col("_pend") == 1) & in_b, clear_frontier=True)
+                ran += 1
+                drained = int(met["in_bucket"] or 0) == 0
+            # HEAVY: one pass from every node whose final dist landed in
+            # bucket b (they settle exactly now; earlier buckets already
+            # relaxed theirs, so nothing is re-relaxed)
+            if ran < max_iterations:
+                state, met = _phase(heavy, in_b, clear_frontier=False)
+                ran += 1
+            b = met["next_b"]
+        converged = b is None
+        out = state.select(
+            "node_id", F.col("dist").alias("distance")).localCheckpoint(
+            eager=True)
+        return PathResult(out, ran, converged)
+    finally:
+        scratch.cleanup()
+        light.unpersist()
+        heavy.unpersist()
+
+
 @dataclass
 class ShortestPathResult:
     #: (source_node, target_node, total_cost, node_ids: array<long>,

@@ -165,8 +165,21 @@ class Pregel:
         # Blocks never cross max_iterations or a snapshot boundary, so
         # fixed-iteration runs execute exactly max_iterations supersteps and
         # checkpoint cadence/resume points are unchanged.
+        # fuse is SIZE-gated like the AQE toggle (run(): _fuse_eff): fusion
+        # amortizes the per-block job barrier, which pays only when state is
+        # large enough that the barrier is small relative to a superstep's
+        # work; below the gate a fused chain costs replay amplification
+        # (AQE stays on there, and AQE defeats ReuseExchange dedup of the
+        # chained exchanges) plus up to fuse-1 overshoot supersteps past
+        # convergence — measured at sf0.1: wcc 4→6 supersteps, lpa 2×.
+        # An explicit fuse argument or SPARK_GRAFT_FUSE env bypasses the
+        # gate (the sweep/probe scripts set it deliberately).
         if fuse is None:
-            fuse = int(os.environ.get("SPARK_GRAFT_FUSE", "3"))
+            env = os.environ.get("SPARK_GRAFT_FUSE")
+            self._fuse_explicit = env is not None
+            fuse = int(env) if env is not None else 3
+        else:
+            self._fuse_explicit = True
         self.fuse = max(1, int(fuse))
         self.checkpoint_dir = checkpoint_dir
         self.snapshot_interval = max(1, snapshot_interval)
@@ -391,8 +404,13 @@ class Pregel:
             F.sum(F.col(ACTIVE_COL).cast("long")).alias("a"),
             F.count(F.lit(1)).alias("r")).first()
         active = first["a"] or 0
-        # size gate for _aqe_ctx (state rows ride the agg we already run)
-        self._aqe_off = int(first["r"] or 0) >= _AQE_OFF_MIN_ROWS
+        # size gate for _aqe_ctx AND fusion (state rows ride the agg we
+        # already run): below the threshold both stay off as a package —
+        # see the __init__ fuse comment
+        rows0 = int(first["r"] or 0)
+        self._aqe_off = rows0 >= _AQE_OFF_MIN_ROWS
+        fuse_eff = self.fuse if (self._fuse_explicit
+                                 or rows0 >= _AQE_OFF_MIN_ROWS) else 1
         converged = active == 0
 
         from pyspark.sql import Observation
@@ -403,7 +421,7 @@ class Pregel:
             # block size: fuse, clipped to max_iterations and to the next
             # snapshot boundary (snapshots must land at exactly the same
             # supersteps as an unfused run, so resume points are identical)
-            block = min(self.fuse, self.max_iterations - superstep)
+            block = min(fuse_eff, self.max_iterations - superstep)
             if self.checkpoint_dir:
                 to_boundary = self.snapshot_interval - (
                     superstep % self.snapshot_interval)

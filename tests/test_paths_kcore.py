@@ -117,3 +117,48 @@ def test_yens_k_shortest(spark):
     got = [(r["total_cost"], r["path"]) for r in
            yens(g, 0, 3, k=3).orderBy("index").collect()]
     assert got == [(2.0, "0->1->3"), (3.0, "0->2->3"), (4.0, "0->1->2->3")]
+
+
+# ---- delta-stepping ---------------------------------------------------------
+
+def test_delta_stepping_matches_bellman_ford(spark):
+    # mixed light/heavy weights around delta=2.0: heavy direct edge 0->3
+    # (5.0) loses to the light chain 0->1->2->3 (1+1+1)
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 5.0),
+                (3, 4, 2.5), (0, 5, 2.0), (5, 4, 0.5)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    from graph_data_science_spark.operators.paths import shortest_paths_delta
+    ref = rows_to_dict(shortest_paths(g, source=0).distances,
+                       "node_id", "distance")
+    got = shortest_paths_delta(g, source=0, delta=2.0)
+    assert got.converged
+    assert rows_to_dict(got.distances, "node_id", "distance") == ref
+    # 0->5 is exactly delta (2.0) => heavy edge; 5->4 light: dist(4)=2.5
+    assert ref[4] == 2.5
+
+
+def test_delta_stepping_delta_invariant(spark):
+    # the fixpoint must not depend on the bucket width
+    edges = edges_from_tuples(
+        spark, [(0, 1, 0.3), (1, 2, 4.0), (0, 2, 4.5), (2, 3, 0.1),
+                (1, 3, 9.0)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    from graph_data_science_spark.operators.paths import shortest_paths_delta
+    ref = rows_to_dict(shortest_paths(g, source=0).distances,
+                       "node_id", "distance")
+    for d in (0.5, 2.0, 100.0):
+        got = rows_to_dict(
+            shortest_paths_delta(g, source=0, delta=d).distances,
+            "node_id", "distance")
+        assert got == ref, f"delta={d}"
+
+
+def test_delta_stepping_unreachable_and_source(spark):
+    edges = edges_from_tuples(spark, [(0, 1, 1.5)], weighted=True)
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "node_id long")
+    g = graph_from_edges(spark, edges, nodes)
+    from graph_data_science_spark.operators.paths import shortest_paths_delta
+    got = rows_to_dict(shortest_paths_delta(g, source=0).distances,
+                       "node_id", "distance")
+    assert got == {0: 0.0, 1: 1.5, 2: INF}
