@@ -1371,6 +1371,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = lambda s, d: quality_score(_docs(s, d))
     q["language_id"] = lambda s, d: language_id(_docs(s, d))
     q["fingerprint"] = lambda s, d: fingerprint(_docs(s, d))
+
+    def _repetition_q(s, d):
+        from graph_data_science_spark.operators.text import repetition_stats
+        return repetition_stats(_docs(s, d))
+
+    q["repetition_stats"] = _repetition_q
     q["exact_duplicates"] = lambda s, d: exact_duplicates(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: minhash_signatures(
         _docs(s, d), num_hashes=8)
@@ -1476,16 +1482,18 @@ _GATE_FIRST = [
     # kernel changed in round 3 (γ resolution + θ refinement) — keep its
     # rows-only check inside the gate
     "leiden",
+    # round-3 addition: Gopher-style repetition filters (new kernel)
+    "repetition_stats",
 ]
 _GATE_LAST = [
     # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
     # untouched this round (not just the entry — dag_levels/k_core/coreness
     # ride paths.py / plans/pregel.py, which round 3 changed, so they moved
     # back inside the gate). Sized so first+mid == the 50-entry gate cap.
-    # closeness_wf shares centrality.py's msbfs kernel with closeness +
-    # harmonic, both still gated; centrality.py is untouched since its
-    # r02 gate-green (oracle ×3)
-    "closeness_wf",
+    # closeness_wf/harmonic share centrality.py's msbfs kernel with
+    # closeness, all_shortest_paths and betweenness, all still gated;
+    # centrality.py is untouched since its r02 gate-green (oracle ×3)
+    "closeness_wf", "harmonic",
     "scale_minmax", "events_sessionize", "events_windowed_counts",
     "token_count", "token_count_bpe", "quality_score", "language_id",
     "fingerprint", "exact_duplicates",
@@ -1718,6 +1726,40 @@ FROM b"""
     o["fingerprint"] = f"""
 WITH {_shingle_cte(5).strip()}
 SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"""
+
+    # Gopher-style repetition filters; word arrays are 1-indexed in DuckDB
+    # (range(1, n) yields i = 1 … n-1 bigram starts)
+    o["repetition_stats"] = r"""
+WITH w AS (
+  SELECT doc_id, trim(text) AS t,
+         string_split_regex(trim(text), '\s+') AS ws
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN 0 ELSE len(ws) END AS n_words,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+         END AS distinct_word_frac,
+         ws
+  FROM w),
+bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+       FROM base, UNNEST(range(1, n_words)) AS t(i) WHERE n_words >= 2),
+bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bga AS (SELECT doc_id,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+        FROM bgc GROUP BY 1),
+g5 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4] AS g
+       FROM base, UNNEST(range(1, n_words - 3)) AS t(i) WHERE n_words >= 5),
+g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+g5a AS (SELECT doc_id,
+               ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6)
+                   AS dup_5gram_frac
+        FROM g5c GROUP BY 1)
+SELECT b.doc_id, b.n_words, b.distinct_word_frac,
+       COALESCE(a.top_bigram_frac, 0.0) AS top_bigram_frac,
+       COALESCE(d.dup_5gram_frac, 0.0) AS dup_5gram_frac
+FROM base b LEFT JOIN bga a USING (doc_id) LEFT JOIN g5a d USING (doc_id)"""
 
     o["exact_duplicates"] = f"""
 WITH h AS (SELECT doc_id, md5({_NORM}) AS hh FROM documents),

@@ -552,6 +552,9 @@ ESTIMATOR_FOR_QUERY = {
     "hash_split": "text_scan",               # one linear scan + hash, per-doc state
     "dag_topological_sort": "dag_levels",    # same level-relaxation kernel
     "sssp_delta": "sssp",                    # same state; banded frontier schedule
+    # two occurrence-sized map-side-combinable n-gram aggs — the
+    # corpus_vocabulary shuffle shape
+    "repetition_stats": "corpus_vocabulary",
 }
 
 

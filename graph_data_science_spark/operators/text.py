@@ -145,3 +145,70 @@ def fingerprint(docs: DataFrame, text_col: str = "text", ngram: int = 5) -> Data
         .otherwise(F.md5(norm))
         .alias("fingerprint"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals →
+    ``(doc_id, n_words, distinct_word_frac, top_bigram_frac,
+    dup_5gram_frac)`` — the standard pre-training repetition filters
+    (Rae et al. 2021 "Scaling Language Models" §A1.1: fraction of
+    duplicate n-grams / characters in the most common n-gram), re-expressed
+    on the whitespace tokenizer every other text op here shares.
+
+    - ``distinct_word_frac``: |distinct words| / |words| (low = repetitive)
+    - ``top_bigram_frac``: occurrences of the most frequent word 2-gram /
+      total 2-grams
+    - ``dup_5gram_frac``: 1 − |distinct 5-grams| / |5-grams| (fraction of
+      5-gram occurrences that are repeats)
+
+    All three are ROUND(…, 6) for engine-portable equality. Docs with too
+    few words for an n-gram level report 0.0 there.
+
+    Spark plan: the per-word signals stay inside one projection
+    (``array_distinct`` on the split array — no explode, no shuffle); the
+    two n-gram levels each explode to (doc_id, md5(gram)) and partial-agg
+    count — shuffle rows carry a 32-byte hash + doc_id, never text. At
+    100 TB this is two occurrence-sized map-side-combinable aggs, the same
+    shape as corpus_vocabulary; n_chars never moves after the map side.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+
+    base = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.when(n > 0,
+               F.round(F.size(F.array_distinct(words))
+                       / n.cast("double"), 6))
+        .otherwise(F.lit(0.0)).alias("distinct_word_frac"),
+        words.alias("_ws"),
+    )
+
+    def _gram_frac(k: int, agg: str, out: str) -> DataFrame:
+        grams = F.expr(
+            f"transform(sequence(0, size(split(trim({text_col}), '\\\\s+')) - {k}), "
+            f"i -> md5(concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {k}))))")
+        # guard: sequence(0, negative) descends in Spark, producing bogus
+        # partial slices — docs shorter than k words have no k-grams
+        ex = (docs.where(F.size(F.split(F.trim(F.col(text_col)),
+                                        r"\s+")) >= k)
+              .select("doc_id", F.explode(grams).alias("_g"))
+              .groupBy("doc_id", "_g").agg(F.count(F.lit(1)).alias("_c")))
+        per = ex.groupBy("doc_id").agg(
+            F.max("_c").alias("_mx"), F.sum("_c").alias("_tot"),
+            F.count(F.lit(1)).alias("_dst"))
+        if agg == "top":
+            val = F.col("_mx") / F.col("_tot")
+        else:  # dup
+            val = F.lit(1.0) - F.col("_dst") / F.col("_tot")
+        return per.select("doc_id", F.round(val, 6).alias(out))
+
+    bg = _gram_frac(2, "top", "top_bigram_frac")
+    g5 = _gram_frac(5, "dup", "dup_5gram_frac")
+    return (base.join(bg, "doc_id", "left").join(g5, "doc_id", "left")
+            .select("doc_id", "n_words", "distinct_word_frac",
+                    F.coalesce("top_bigram_frac", F.lit(0.0))
+                    .alias("top_bigram_frac"),
+                    F.coalesce("dup_5gram_frac", F.lit(0.0))
+                    .alias("dup_5gram_frac")))

@@ -126,3 +126,40 @@ def test_embedding_near_duplicates(spark):
     assert all(c >= 0.95 for c in got.values())
     # each unordered pair appears exactly once (mirror tiles filter)
     assert len(got) == 2
+
+
+# ---- repetition_stats -------------------------------------------------------
+
+def test_repetition_stats_goldens(spark):
+    from graph_data_science_spark.operators.text import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),
+         (2, "x y z"),
+         (3, "one two three four five one two three four five"),
+         (4, ""),
+         (5, "solo")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    # doc 1: 6 words / 2 distinct; bigrams 'a b'x3 'b a'x2 -> 3/5; both
+    # 5-grams distinct
+    assert got[1]["n_words"] == 6
+    assert got[1]["distinct_word_frac"] == 0.333333
+    assert got[1]["top_bigram_frac"] == 0.6
+    assert got[1]["dup_5gram_frac"] == 0.0
+    # doc 3: repeated 5-word phrase -> 6 5-grams, 5 distinct
+    assert got[3]["dup_5gram_frac"] == 0.166667
+    assert got[3]["top_bigram_frac"] == 0.222222
+    # short/empty docs: n-gram levels report 0.0, never NULL or garbage
+    assert got[4] == {"doc_id": 4, "n_words": 0, "distinct_word_frac": 0.0,
+                      "top_bigram_frac": 0.0, "dup_5gram_frac": 0.0}
+    assert got[5]["n_words"] == 1 and got[5]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    from graph_data_science_spark.operators.text import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "spam " * 200), (2, " ".join(f"w{i}" for i in range(200)))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_5gram_frac"] > 0.9 and got[1]["top_bigram_frac"] > 0.9
+    assert got[2]["dup_5gram_frac"] == 0.0 and got[2]["distinct_word_frac"] == 1.0
