@@ -213,3 +213,39 @@ def test_hits_matches_numpy(spark, data):
     got_a = {r["node_id"]: r["auth"] for r in res}
     assert got_h == pytest.approx({v: hub[v] for v in range(n)}, abs=1e-6)
     assert got_a == pytest.approx({v: auth[v] for v in range(n)}, abs=1e-6)
+
+
+# -- delta-stepping vs python Bellman-Ford (weighted, random deltas) ----------
+
+@st.composite
+def weighted_edge_lists(draw):
+    n, edges = draw(edge_lists())
+    ws = draw(st.lists(
+        st.sampled_from([0.25, 0.5, 1.0, 1.5, 2.0, 3.0, 7.5]),
+        min_size=len(edges), max_size=len(edges)))
+    return n, [(a, b, w) for (a, b), w in zip(edges, ws)]
+
+
+@given(data=weighted_edge_lists(),
+       delta=st.sampled_from([0.5, 2.0, 4.0]))
+@settings(**SETTINGS)
+def test_delta_stepping_matches_bellman_ford_property(spark, data, delta):
+    from graph_data_science_spark.operators.paths import shortest_paths_delta
+
+    n, edges = data
+    ref = {i: float("inf") for i in range(n)}
+    ref[0] = 0.0
+    for _ in range(n):  # python Bellman-Ford
+        for a, b, w in edges:
+            if ref[a] + w < ref[b]:
+                ref[b] = ref[a] + w
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node_id long")
+    g = Graph(nodes=nodes, edges=spark.createDataFrame(
+        edges, "src long, dst long, weight double"))
+    res = shortest_paths_delta(g, source=0, delta=delta)
+    assert res.converged
+    got = {r["node_id"]: r["distance"] for r in res.distances.collect()}
+    for i in range(n):
+        assert abs(got[i] - ref[i]) < 1e-9 or (got[i] == ref[i] == float("inf")), \
+            f"node {i}: {got[i]} vs {ref[i]} (delta={delta})"
