@@ -117,6 +117,115 @@ def article_rank(
     )
 
 
+def pagerank_incremental(
+    graph: Graph,
+    prev_scores: DataFrame,
+    damping_factor: float = 0.85,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+    weighted: bool = False,
+) -> PageRankResult:
+    """Warm-start PageRank on an UPDATED graph from the previous run's
+    converged ``(node_id, score)`` — the companion to streaming ingestion
+    (streaming/ingest.py emits edge deltas; this re-solves only the
+    perturbed region instead of the whole graph).
+
+    Push-residual formulation: the delta-push kernel maintains the
+    invariant *rank + pending-push mass = fixpoint*. Seeding
+    ``rank = prev`` and ``delta = r`` with the fixpoint residual on the
+    NEW graph
+
+        r_v = α + d · Σ_in prev_u / deg'_u − prev_v
+
+    restores that invariant exactly, so the unchanged superstep converges
+    to the same fixpoint a from-scratch run reaches — but the initial
+    frontier is only nodes whose residual exceeds the tolerance, i.e. the
+    nodes actually touched by the edge delta (new nodes enter with
+    prev = 0 → residual α + inflow). Edge DELETIONS make residuals
+    negative, so activity and convergence test ``|delta|`` — a strict
+    superset of the reference kernel's positive-delta condition
+    (PageRankComputation.java:90, which never sees negative deltas
+    because from-scratch pushes are monotone).
+
+    At 100 TB this is the difference between re-running 20 supersteps of
+    full message volume per ingest batch and pushing a frontier
+    proportional to the batch's blast radius; the plan per superstep is
+    identical to :func:`pagerank` (one shuffle join + one partial-agg sum
+    + state join)."""
+    spark = graph.nodes.sparkSession
+    alpha = 1.0 - damping_factor
+    edges = _prep_edges(graph, weighted).persist()
+
+    deg = graph.degrees("out", weighted=weighted)
+    prev = prev_scores.select(
+        F.col("node_id").alias("_pn"), F.col("score").alias("_prev"))
+    base = (deg.join(prev, deg.node_id == F.col("_pn"), "left")
+            .select("node_id", "degree",
+                    F.coalesce("_prev", F.lit(0.0)).alias("rank")))
+
+    # one superstep-shaped job computes the residual on the new topology
+    senders0 = shuffle_hash(
+        base.where((F.col("rank") != 0.0) & (F.col("degree") > 0.0))
+        .select("node_id", F.col("rank").alias("_r"), "degree"))
+    m0 = F.col("_r") / F.col("degree")
+    if weighted:
+        m0 = m0 * F.col("weight")
+    inflow = (edges.join(senders0, edges.src == senders0.node_id, "inner")
+              .select(F.col("dst"), m0.alias("m"))
+              .groupBy("dst").agg(F.sum("m").alias("inflow")))
+    # rank absorbs the residual immediately (x* = prev + Σ_{k≥0}(dP^T)^k r,
+    # and the superstep only accumulates the k≥1 terms) — exactly the
+    # from-scratch pattern rank = delta = α, which this reduces to when
+    # prev ≡ 0
+    state = (base.join(shuffle_hash(inflow),
+                       base.node_id == inflow.dst, "left")
+             .select(
+                 base.node_id, base.degree,
+                 (F.lit(alpha)
+                  + F.lit(damping_factor) * F.coalesce("inflow", F.lit(0.0))
+                  - F.col("rank")).alias("delta"),
+                 F.col("rank"))
+             .select(
+                 "node_id", "degree",
+                 (F.col("rank") + F.col("delta")).alias("rank"), "delta",
+                 (F.abs(F.col("delta")) > F.lit(tolerance))
+                 .cast("int").alias(ACTIVE_COL)))
+
+    msg_val = F.col("delta") / F.col("degree")
+    if weighted:
+        msg_val = msg_val * F.col("weight")
+
+    def step(st: DataFrame, superstep: int) -> DataFrame:
+        senders = shuffle_hash(
+            st.where(F.col(ACTIVE_COL) == 1)
+            .select("node_id", "delta", "degree"))
+        raw = edges.join(senders, edges.src == senders.node_id,
+                         "inner").select(F.col("dst"), msg_val.alias("m"))
+        msgs = raw.groupBy("dst").agg(F.sum("m").alias("msg"))
+        joined = st.join(shuffle_hash(msgs), st.node_id == msgs.dst, "left")
+        new_delta = F.coalesce(
+            F.lit(damping_factor) * F.col("msg"), F.lit(0.0))
+        return joined.select(
+            st.node_id,
+            st.degree,
+            (F.col("rank") + new_delta).alias("rank"),
+            new_delta.alias("delta"),
+            (F.abs(new_delta) > F.lit(tolerance)).cast("int").alias(ACTIVE_COL),
+        )
+
+    driver = Pregel(
+        spark,
+        max_iterations=max(0, max_iterations - 1),
+        extra_metrics={"delta_max": F.max(F.abs(F.col("delta"))),
+                       "rank_sum": F.sum("rank")},
+    )
+    res = driver.run(state, step)
+    edges.unpersist()
+    return PageRankResult(
+        res.state.select("node_id", F.col("rank").alias("score")),
+        res.ran_iterations + 1, res.converged, res.metrics)
+
+
 def _delta_push(
     graph: Graph,
     damping_factor: float,

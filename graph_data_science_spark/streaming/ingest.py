@@ -113,3 +113,82 @@ def merge_deltas(spark: SparkSession, deltas_dir: str) -> DataFrame:
     return (spark.read.parquet(deltas_dir)
             .groupBy("src", "dst")
             .agg(F.sum("weight").alias("weight")))
+
+
+def run_streaming_pagerank(
+    spark: SparkSession,
+    edge_delta_dir: str,
+    state_dir: str,
+    damping_factor: float = 0.85,
+    tolerance: float = 1e-7,
+    max_iterations: int = 50,
+    schema: str = "src long, dst long",
+) -> DataFrame:
+    """Maintain PageRank scores over a continuously-growing link graph:
+    ``readStream`` over an edge drop zone → per micro-batch, append the
+    batch to the accumulated edge table and WARM-START
+    :func:`~graph_data_science_spark.operators.pagerank.pagerank_incremental`
+    from the previous batch's converged scores. The push frontier per
+    batch is proportional to the batch's blast radius, not the graph —
+    the operating mode a 10¹²-edge live corpus needs (full recompute per
+    ingest batch re-pushes the whole message volume).
+
+    Duplicate (src, dst) arrivals collapse to one link (the unweighted
+    projection's set semantics). Scores persist under
+    ``state_dir/scores-{0,1}`` (alternating slots, batch-parity —
+    reading the previous slot while writing the next is safe because the
+    slots never alias) with a ``_latest`` marker, so a later drain
+    resumes from the last converged state like the Pregel checkpoint
+    story. Returns the final ``(node_id, score)`` DataFrame.
+
+    Batch-equivalence invariant (tested): after draining N batches the
+    scores match a from-scratch :func:`pagerank` on the union of all
+    batches to within the push tolerance."""
+    import json
+
+    from graph_data_science_spark.graph import Graph
+    from graph_data_science_spark.operators.pagerank import (
+        pagerank_incremental)
+
+    edges_dir = os.path.join(state_dir, "edges")
+    marker = os.path.join(state_dir, "_latest")
+
+    def _slot(i: int) -> str:
+        return os.path.join(state_dir, f"scores-{i % 2}")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(edges_dir)
+        edges = (spark.read.parquet(edges_dir)
+                 .dropDuplicates(["src", "dst"]))
+        nodes = (edges.select(F.col("src").alias("node_id"))
+                 .unionByName(edges.select(F.col("dst").alias("node_id")))
+                 .distinct())
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                prev_slot = json.load(fh)["slot"]
+            prev = spark.read.parquet(_slot(prev_slot))
+            next_slot = prev_slot + 1
+        else:
+            prev = spark.createDataFrame([], "node_id long, score double")
+            next_slot = 0
+        res = pagerank_incremental(
+            Graph(nodes=nodes, edges=edges), prev,
+            damping_factor=damping_factor, tolerance=tolerance,
+            max_iterations=max_iterations)
+        res.scores.write.mode("overwrite").parquet(_slot(next_slot))
+        with open(marker, "w") as fh:
+            json.dump({"slot": next_slot, "batch_id": int(batch_id),
+                       "converged": bool(res.converged),
+                       "ran_iterations": int(res.ran_iterations)}, fh)
+
+    q = (spark.readStream.schema(schema).parquet(edge_delta_dir)
+         .writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    import json as _json
+    with open(marker) as fh:
+        slot = _json.load(fh)["slot"]
+    return spark.read.parquet(_slot(slot))

@@ -127,3 +127,58 @@ def test_pagerank_vs_numpy_power_iteration(spark):
     got = scores_dict(res)
     for i in range(n):
         assert got[i] == pytest.approx(rank[i], abs=1e-9), f"node {i}"
+
+
+# ---- incremental (warm-start push-residual) ---------------------------------
+
+def test_pagerank_incremental_matches_full_recompute(spark):
+    from graph_data_science_spark.operators.pagerank import pagerank_incremental
+    base_edges = [(a, b) for (a, b, *_r) in F2_EDGES]
+    g0 = build_graph(spark, base_edges, F2_NODES)
+    # damping 0.5: deltas halve per superstep, so 1e-9 converges in ~30
+    # supersteps (0.85 would need ~130 — same math, slower test)
+    prev = pagerank(g0, damping_factor=0.5, tolerance=1e-9,
+                    max_iterations=60).scores
+    # perturb: drop one edge, add two (one to a brand-new node 99)
+    new_edges = base_edges[1:] + [(0, 6), (3, 99)]
+    g1 = build_graph(spark, new_edges, list(F2_NODES) + [99])
+    full = scores_dict(pagerank(g1, damping_factor=0.5, tolerance=1e-9,
+                                max_iterations=60))
+    inc = pagerank_incremental(g1, prev, damping_factor=0.5,
+                               tolerance=1e-9, max_iterations=60)
+    assert inc.converged
+    got = scores_dict(inc)
+    assert set(got) == set(full)
+    for k in full:
+        assert abs(got[k] - full[k]) < 1e-6, (k, got[k], full[k])
+
+
+def test_pagerank_incremental_cold_start_equals_reference_kernel(spark):
+    from graph_data_science_spark.operators.pagerank import pagerank_incremental
+    g = build_graph(spark, F1_EDGES, F1_NODES)
+    empty_prev = spark.createDataFrame([], "node_id long, score double")
+    got = scores_dict(pagerank_incremental(g, empty_prev, tolerance=1e-10,
+                                           max_iterations=60))
+    ref = scores_dict(pagerank(g, tolerance=1e-10, max_iterations=60))
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-9
+
+
+def test_pagerank_incremental_frontier_is_local(spark):
+    from graph_data_science_spark.operators.pagerank import pagerank_incremental
+    # long chain; a leaf edge appended at the TAIL perturbs only its
+    # neighborhood, so the warm-start frontier must be a small fraction of n
+    n = 40
+    chain = [(i, i + 1) for i in range(n - 1)]
+    g0 = build_graph(spark, chain, list(range(n)))
+    prev = pagerank(g0, tolerance=1e-12, max_iterations=100).scores
+    g1 = build_graph(spark, chain + [(n - 1, n)], list(range(n + 1)))
+    inc = pagerank_incremental(g1, prev, tolerance=1e-7, max_iterations=100)
+    full = scores_dict(pagerank(g1, tolerance=1e-7, max_iterations=100))
+    got = scores_dict(inc)
+    for k in full:
+        assert abs(got[k] - full[k]) < 1e-5
+    # first superstep's frontier: nodes with |residual| > tol — the chain
+    # upstream of the change has zero residual, so well under half of n
+    first_active = inc.metrics[0]["active"] if inc.metrics else None
+    assert first_active is not None and first_active < (n + 1) // 2

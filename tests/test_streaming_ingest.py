@@ -77,3 +77,44 @@ def test_unresolved_references_routed_to_pending(spark, workdir):
     assert delta_refs < total_refs  # the forgotten files' refs are not there
     repos.unpersist()
     known.unpersist()
+
+
+# ---- streaming pagerank maintenance -----------------------------------------
+
+def test_streaming_pagerank_matches_batch_recompute(spark, workdir):
+    from graph_data_science_spark.graph import Graph
+    from graph_data_science_spark.operators.pagerank import pagerank
+    from graph_data_science_spark.streaming.ingest import run_streaming_pagerank
+
+    drop = os.path.join(workdir, "pr_drop")
+    state = os.path.join(workdir, "pr_state")
+    e1 = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    e2 = [(3, 4), (4, 0), (1, 3)]
+
+    def _graph(edges):
+        e = spark.createDataFrame(edges, "src long, dst long")
+        n = (e.select(F.col("src").alias("node_id"))
+             .unionByName(e.select(F.col("dst").alias("node_id"))).distinct())
+        return Graph(nodes=n, edges=e)
+
+    kw = dict(damping_factor=0.5, tolerance=1e-9, max_iterations=60)
+
+    spark.createDataFrame(e1, "src long, dst long").write.mode(
+        "append").parquet(drop)
+    s1 = {r["node_id"]: r["score"]
+          for r in run_streaming_pagerank(spark, drop, state, **kw).collect()}
+    ref1 = {r["node_id"]: r["score"]
+            for r in pagerank(_graph(e1), **kw).scores.collect()}
+    assert set(s1) == set(ref1)
+    assert all(abs(s1[k] - ref1[k]) < 1e-6 for k in ref1)
+
+    # second drain: new files land; the maintainer resumes from the marker
+    # and warm-starts from batch 1's converged scores
+    spark.createDataFrame(e2, "src long, dst long").write.mode(
+        "append").parquet(drop)
+    s2 = {r["node_id"]: r["score"]
+          for r in run_streaming_pagerank(spark, drop, state, **kw).collect()}
+    ref2 = {r["node_id"]: r["score"]
+            for r in pagerank(_graph(e1 + e2), **kw).scores.collect()}
+    assert set(s2) == set(ref2)
+    assert all(abs(s2[k] - ref2[k]) < 1e-6 for k in ref2)
