@@ -62,3 +62,33 @@ def test_wcc_seeded(spark):
     got = rows_to_dict(res.components, "node_id", "component")
     assert got[0] == 7 and got[1] == 7
     assert got[2] == got[3] == 10  # min(7+1+2, 7+1+3)
+
+
+# ---- fusion size gate (SCALE_NOTES §14) -------------------------------------
+
+def test_fusion_gates_off_below_row_threshold(spark):
+    """Small runs must execute UNFUSED (fused=1 per block) so convergence is
+    detected at the true superstep; forcing the gate threshold down must
+    restore fuse=3 blocks on the same input. Results identical either way."""
+    from graph_data_science_spark.graph import edges_from_tuples, graph_from_edges
+    from graph_data_science_spark.operators.wcc import wcc
+    from graph_data_science_spark.plans import pregel as pregel_mod
+
+    # chain of 12 nodes: WCC needs several supersteps
+    edges = edges_from_tuples(spark, [(i, i + 1) for i in range(11)])
+    g = graph_from_edges(spark, edges)
+
+    small = wcc(g)
+    assert all(m["fused"] == 1 for m in small.metrics), small.metrics
+
+    old = pregel_mod._AQE_OFF_MIN_ROWS
+    pregel_mod._AQE_OFF_MIN_ROWS = 1  # force "large" classification
+    try:
+        forced = wcc(g)
+    finally:
+        pregel_mod._AQE_OFF_MIN_ROWS = old
+    assert any(m["fused"] > 1 for m in forced.metrics), forced.metrics
+
+    a = {r["node_id"]: r["component"] for r in small.components.collect()}
+    b = {r["node_id"]: r["component"] for r in forced.components.collect()}
+    assert a == b
