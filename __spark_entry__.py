@@ -1210,6 +1210,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wcc"] = lambda s, d: wcc(build_graph(s, d)).components
     q["wcc_threshold"] = lambda s, d: wcc(
         build_graph(s, d), threshold=2.0).components
+
+    # -- execution-mode stats distributions (GDS *.stats parity) -------------
+    from graph_data_science_spark.operators.result_stats import (
+        centrality_distribution,
+        community_distribution,
+    )
+    q["pagerank_stats"] = lambda s, d: centrality_distribution(
+        _round(pagerank(build_graph(s, d)).scores, "score"))
+    q["wcc_stats"] = lambda s, d: community_distribution(
+        wcc(build_graph(s, d)).components)
     q["label_propagation"] = lambda s, d: label_propagation(
         build_graph(s, d)).labels
     q["label_propagation_weighted"] = lambda s, d: label_propagation(
@@ -1452,6 +1462,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), shingle_n=3, eval_mod=20)
     q["hash_split"] = lambda s, d: hash_split(_docs(s, d))
 
+    # -- function surface (gds.similarity.* / gds.alpha.linkprediction.*) ----
+    from graph_data_science_spark.functions import (
+        cosine as f_cosine,
+        euclidean as f_euclidean,
+        euclidean_distance as f_edist,
+        jaccard as f_jaccard,
+        link_prediction_scores,
+        overlap as f_overlap,
+        pearson as f_pearson,
+    )
+
+    def _vec_pairs(s: SparkSession, d: str) -> DataFrame:
+        e = s.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        nxt = e.select((F.col("vec_id") - 1).alias("vec_id"),
+                       F.col("v").alias("w"))
+        return e.join(nxt, "vec_id")
+
+    q["similarity_functions_vec"] = lambda s, d: _vec_pairs(s, d).select(
+        "vec_id",
+        F.round(f_cosine("v", "w"), 6).alias("cosine"),
+        F.round(f_pearson("v", "w"), 6).alias("pearson"),
+        F.round(f_edist("v", "w"), 6).alias("euclidean_distance"),
+        F.round(f_euclidean("v", "w"), 6).alias("euclidean"),
+    )
+
+    def _wordlen_pairs(s: SparkSession, d: str) -> DataFrame:
+        # word-length multisets: numeric vectors with real duplicates, the
+        # jaccard/overlap input shape (reference functions take List<Number>)
+        docs = _docs(s, d).select(
+            "doc_id",
+            F.transform(
+                F.split(F.regexp_replace(F.lower(F.trim("text")),
+                                         r"\s+", " "), " "),
+                lambda w: F.length(w).cast("double"),
+            ).alias("v"),
+        )
+        nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                          F.col("v").alias("w"))
+        return docs.join(nxt, "doc_id")
+
+    q["similarity_functions_set"] = lambda s, d: _wordlen_pairs(s, d).select(
+        "doc_id",
+        F.round(f_jaccard("v", "w"), 6).alias("jaccard"),
+        F.round(f_overlap("v", "w"), 6).alias("overlap"),
+    )
+
+    def _linkpred(s: SparkSession, d: str) -> DataFrame:
+        g = build_graph(s, d)
+        out = link_prediction_scores(
+            g, g.edges.select("src", "dst"), direction="both")
+        return (_round(_round(out, "adamic_adar"), "resource_allocation"))
+
+    q["link_prediction"] = _linkpred
+
+    from graph_data_science_spark.ml.splitting import split_relationships
+
+    def _split_rel(s: SparkSession, d: str) -> DataFrame:
+        res = split_relationships(
+            build_graph(s, d), holdout_fraction=0.2,
+            negative_sampling_ratio=0.0, seed=42)
+        return res.selected.select(
+            "src", "dst", F.lit("holdout").alias("part")
+        ).unionByName(res.remaining.select(
+            "src", "dst", F.lit("remaining").alias("part")))
+
+    q["split_relationships"] = _split_rel
+
+    # overlapping communities (randomized in the reference → rows-only here)
+    from graph_data_science_spark.graph import UNDIRECTED
+    from graph_data_science_spark.operators.sllpa import sllpa
+
+    q["sllpa"] = lambda s, d: sllpa(
+        build_graph(s, d).oriented(UNDIRECTED), max_iterations=6
+    ).communities.select(
+        "node_id", F.size("community_ids").alias("n_communities"),
+        "community_ids")
+
     return _gate_order(q)
 
 
@@ -1484,16 +1572,31 @@ _GATE_FIRST = [
     "leiden",
     # round-3 addition: Gopher-style repetition filters (new kernel)
     "repetition_stats",
+    # round-3 addition: GDS *.stats execution-mode distributions
+    "pagerank_stats", "wcc_stats",
+    # round-3 additions: function surface (gds.similarity.* /
+    # gds.alpha.linkprediction.* / splitRelationships) + SLLPA (rows-only)
+    "similarity_functions_vec", "similarity_functions_set",
+    "link_prediction", "split_relationships", "sllpa",
 ]
 _GATE_LAST = [
     # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
     # untouched this round (not just the entry — dag_levels/k_core/coreness
     # ride paths.py / plans/pregel.py, which round 3 changed, so they moved
     # back inside the gate). Sized so first+mid == the 50-entry gate cap.
-    # closeness_wf/harmonic share centrality.py's msbfs kernel with
-    # closeness, all_shortest_paths and betweenness, all still gated;
-    # centrality.py is untouched since its r02 gate-green (oracle ×3)
-    "closeness_wf", "harmonic",
+    # closeness_wf/harmonic/closeness share centrality.py's msbfs kernel
+    # with all_shortest_paths and betweenness, both still gated;
+    # centrality.py is untouched since its r02 gate-green (oracle ×3).
+    # maxkcut rides cut.py, also untouched since its r02 green — both
+    # displaced to make room for the round-3 pagerank_stats/wcc_stats gates
+    "closeness_wf", "harmonic", "closeness", "maxkcut",
+    # same-kernel VARIANTS of entries that stay gated (pagerank /
+    # label_propagation / wcc run the shared kernel inside the gate), moved
+    # out to make room for the round-3 function-surface gates while keeping
+    # bfs/sssp/dag_levels/k_core/coreness (paths.py / pregel.py changed
+    # this round) inside; all five remain pytest-oracled every run
+    "pagerank_weighted", "article_rank", "eigenvector",
+    "label_propagation_weighted", "wcc_threshold",
     "scale_minmax", "events_sessionize", "events_windowed_counts",
     "token_count", "token_count_bpe", "quality_score", "language_id",
     "fingerprint", "exact_duplicates",
@@ -1527,6 +1630,27 @@ def oracle_sql() -> dict[str, str]:
     o["eigenvector"] = _eigenvector_sql(10)
     o["wcc"] = _wcc_sql()
     o["wcc_threshold"] = _wcc_sql(threshold=2.0)
+    # stats distributions: quantile_cont == Spark F.percentile (both exact
+    # linear interpolation over identical 6dp-rounded inputs); outputs
+    # rounded 4dp on both sides, well above ulp noise
+    _pcts = ((0.5, "p50"), (0.75, "p75"), (0.9, "p90"), (0.95, "p95"),
+             (0.99, "p99"))
+    _qc = ", ".join(
+        f"ROUND(quantile_cont(score, {p!r}), 4) AS {nm}" for p, nm in _pcts)
+    o["pagerank_stats"] = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(MIN(score), 6) AS min_score, "
+        "ROUND(AVG(score), 4) AS mean_score, "
+        "ROUND(MAX(score), 6) AS max_score, "
+        f"{_qc} FROM ({_pagerank_sql(weighted=False)}) t")
+    _qcs = ", ".join(
+        f"ROUND(quantile_cont(sz, {p!r}), 4) AS {nm}" for p, nm in _pcts)
+    o["wcc_stats"] = (
+        f"WITH sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz "
+        f"FROM ({_wcc_sql()}) t GROUP BY component) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS community_count, "
+        "MIN(sz) AS min_size, ROUND(AVG(sz), 4) AS mean_size, "
+        f"MAX(sz) AS max_size, {_qcs} FROM sizes")
     o["label_propagation"] = _lpa_sql(weighted=False)
     o["label_propagation_weighted"] = _lpa_sql(weighted=True)
     o["triangle_count"] = _TRI_COUNT_SQL
@@ -1905,5 +2029,110 @@ SELECT doc_id,
             WHEN {_u01_sql("doc_id", "'split'", "42")} < {(0.8 + 0.1)!r} THEN 'val'
             ELSE 'test' END AS split
 FROM documents"""
+
+    # -- function surface (gds.similarity.* / gds.alpha.linkprediction.*) ----
+    # element-wise list arithmetic: DuckDB list_zip yields unnamed structs,
+    # indexed numerically (1-based); lambdas capture row columns. Both
+    # engines fold in double after an exact float→double cast; 6dp rounding
+    # sits far above the ~1e-15 reassociation noise of 64-element sums.
+    o["similarity_functions_vec"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT a.vec_id, a.v AS v, b.v AS w
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+c AS (SELECT vec_id, v, w,
+             list_sum(v) / len(v) AS mv, list_sum(w) / len(w) AS mw
+      FROM p),
+d AS (SELECT vec_id,
+    list_sum(list_transform(list_zip(v, w), x -> x[1] * x[2])) AS dot,
+    list_sum(list_transform(v, x -> x * x)) AS nv,
+    list_sum(list_transform(w, x -> x * x)) AS nw,
+    list_sum(list_transform(list_zip(v, w),
+                            x -> (x[1] - mv) * (x[2] - mw))) AS cov,
+    list_sum(list_transform(v, x -> (x - mv) * (x - mv))) AS vv,
+    list_sum(list_transform(w, x -> (x - mw) * (x - mw))) AS ww,
+    list_sum(list_transform(list_zip(v, w),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS sq
+ FROM c)
+SELECT vec_id,
+    ROUND(dot / sqrt(nv * nw), 6) AS cosine,
+    ROUND(CASE WHEN vv * ww = 0 THEN 0.0 ELSE cov / sqrt(vv * ww) END,
+          6) AS pearson,
+    ROUND(sqrt(sq), 6) AS euclidean_distance,
+    ROUND(1.0 / (1.0 + sqrt(sq)), 6) AS euclidean
+FROM d"""
+
+    # multiset jaccard + set overlap over word-length vectors (numeric
+    # multisets with real duplicates); same tokenization as dedup._norm
+    o["similarity_functions_set"] = f"""
+WITH wl AS (SELECT doc_id,
+       list_transform(string_split({_NORM}, ' '),
+                      x -> CAST(len(x) AS DOUBLE)) AS v
+     FROM documents),
+p AS (SELECT a.doc_id, a.v AS v, b.v AS w
+      FROM wl a JOIN wl b ON b.doc_id = a.doc_id + 1),
+j AS (SELECT doc_id,
+    COALESCE(list_sum(list_transform(
+        list_distinct(list_concat(v, w)),
+        u -> least(len(list_filter(v, x -> x = u)),
+                   len(list_filter(w, x -> x = u))))), 0) AS inter,
+    len(v) + len(w) AS tot,
+    len(list_intersect(v, w)) AS sinter,
+    least(len(v), len(w)) AS mn
+ FROM p)
+SELECT doc_id,
+    ROUND(CASE WHEN tot - inter = 0 THEN 1.0
+               ELSE CAST(inter AS DOUBLE) / (tot - inter) END, 6) AS jaccard,
+    ROUND(CASE WHEN mn = 0 THEN 0.0
+               ELSE CAST(sinter AS DOUBLE) / mn END, 6) AS overlap
+FROM j"""
+
+    # linkprediction.* over every edge pair of the link graph, direction
+    # BOTH: N(v) = distinct non-self neighbors; deg = relationship count
+    # (out incl. loops once + in excl. loops)
+    o["link_prediction"] = f"""
+WITH {EDGES_SQL},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+nbrs AS (SELECT src AS node, dst AS nbr FROM e
+         UNION
+         SELECT dst AS node, src AS nbr FROM e),
+deg AS (SELECT node, SUM(c) AS deg FROM (
+            SELECT src AS node, COUNT(*) AS c FROM edges GROUP BY src
+            UNION ALL
+            SELECT dst AS node, COUNT(*) AS c FROM edges
+            WHERE src <> dst GROUP BY dst) t
+        GROUP BY node),
+nsz AS (SELECT node, COUNT(*) AS n FROM nbrs GROUP BY node),
+p AS (SELECT DISTINCT src, dst FROM edges),
+cn AS (SELECT p.src, p.dst, COUNT(*) AS common,
+              SUM(1.0 / ln(d.deg)) AS aa, SUM(1.0 / d.deg) AS ra
+       FROM p
+       JOIN nbrs a ON a.node = p.src
+       JOIN nbrs b ON b.node = p.dst AND b.nbr = a.nbr
+       JOIN deg d ON d.node = a.nbr
+       WHERE p.src <> p.dst
+       GROUP BY p.src, p.dst)
+SELECT p.src, p.dst,
+    CAST(COALESCE(cn.common, 0) AS DOUBLE) AS common_neighbors,
+    ROUND(COALESCE(cn.aa, 0.0), 6) AS adamic_adar,
+    ROUND(COALESCE(cn.ra, 0.0), 6) AS resource_allocation,
+    CAST(COALESCE(ds.deg, 0) * COALESCE(dd.deg, 0) AS DOUBLE)
+        AS preferential_attachment,
+    CAST(COALESCE(ns.n, 0) + COALESCE(nd.n, 0) - COALESCE(cn.common, 0)
+         AS DOUBLE) AS total_neighbors
+FROM p
+LEFT JOIN cn ON cn.src = p.src AND cn.dst = p.dst
+LEFT JOIN deg ds ON ds.node = p.src
+LEFT JOIN deg dd ON dd.node = p.dst
+LEFT JOIN nsz ns ON ns.node = p.src
+LEFT JOIN nsz nd ON nd.node = p.dst"""
+
+    # splitRelationships: the holdout/remaining partition is the same
+    # md5-u01 Bernoulli draw as hash_split, keyed on the edge
+    o["split_relationships"] = f"""
+WITH {EDGES_SQL}
+SELECT src, dst,
+       CASE WHEN {_u01_sql("src", "dst", "'holdout'", "42")} < 0.2
+            THEN 'holdout' ELSE 'remaining' END AS part
+FROM edges"""
 
     return o

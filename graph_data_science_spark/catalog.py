@@ -86,6 +86,29 @@ class GraphCatalog:
     def list(self) -> list[str]:
         return sorted(self._graphs)
 
+    def list_detail(self, name: str, exact: bool = False) -> dict:
+        """``gds.graph.list`` row analog: node/relationship counts plus the
+        ``degreeDistribution`` histogram GDS computes per catalog entry
+        (proc/catalog/.../GraphInfoWithHistogram.java) — min/mean/max and
+        p50–p99 over out-degrees. ``exact=False`` (default) uses the
+        bounded-memory percentile sketch, matching the reference's
+        HdrHistogram posture; counts are exact either way."""
+        from graph_data_science_spark.operators.result_stats import (
+            centrality_distribution,
+        )
+
+        g = self.get(name)
+        dist = centrality_distribution(
+            g.degrees("out"), col="degree", exact=exact
+        ).collect()[0].asDict()
+        return {
+            "graphName": name,
+            "nodeCount": g.nodes.count(),
+            "relationshipCount": g.edges.count(),
+            "directed": g.directed,
+            "degreeDistribution": dist,
+        }
+
     # -- mutate / property lifecycle (gds.graph.nodeProperties.*) ------------
     def mutate(self, name: str, values: DataFrame, column: str) -> Graph:
         g = self.get(name).with_node_property(values, column)

@@ -555,6 +555,23 @@ ESTIMATOR_FOR_QUERY = {
     # two occurrence-sized map-side-combinable n-gram aggs — the
     # corpus_vocabulary shuffle shape
     "repetition_stats": "corpus_vocabulary",
+    # stats distributions ride the underlying algorithm's state: the added
+    # rollup is one partial agg whose merge state is the percentile buffer
+    "pagerank_stats": "pagerank",
+    "wcc_stats": "wcc",
+    # gds.similarity.* Column functions: one linear scan, per-row array
+    # arithmetic — the text_scan shape (no shuffle, no state)
+    "similarity_functions_vec": "text_scan",
+    "similarity_functions_set": "text_scan",
+    # linkprediction pair scorers: the wedge join's shuffle profile is the
+    # node_similarity intersect shape (pair-keyed partial agg over N(a)∩N(b))
+    "link_prediction": "node_similarity",
+    # holdout split: linear scan + hash tag; negatives are a bounded
+    # generate→anti-join (candidate volume O(n_negative), not O(V²))
+    "split_relationships": "text_scan",
+    # SLLPA: LPA superstep shape with an array<long>[maxIterations] state
+    # column riding the same shuffle
+    "sllpa": "label_propagation",
 }
 
 

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.graph import Graph, graph_from_edges
 from graph_data_science_spark.plans.partitioning import shuffle_hash
 from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
 
@@ -129,3 +129,83 @@ def wcc(
             .select("node_id", F.col("_new").alias("component"))
         )
     return WccResult(comps, res.ran_iterations, res.converged, res.metrics)
+
+
+def wcc_incremental(
+    prev_components: DataFrame,
+    new_edges: DataFrame,
+    threshold: float | None = None,
+) -> WccResult:
+    """Merge an edge DELTA into converged ``(node_id, component)`` labels —
+    the components companion to ``pagerank_incremental`` over the streaming
+    ingest path (streaming/ingest.py emits the deltas).
+
+    Contracted-graph formulation: a new edge can only ever MERGE existing
+    components (component ids here are min-node-ids, so a merged component's
+    id is the min of the merged ids — exactly what min-label WCC computes).
+    So instead of re-propagating labels over the full graph, map each new
+    edge's endpoints to their current components, drop the edges that land
+    inside one component, and run the engine's own :func:`wcc` on the
+    CONTRACTED graph whose vertices are the touched components — at most
+    ``2·|batch|`` of them, regardless of how many nodes/edges the
+    accumulated graph holds. The resulting remap is broadcast back onto the
+    label table in one join.
+
+    Per-batch cost is therefore O(|batch| + |touched components| +
+    one broadcast-join pass over the label table) with NO scan of the
+    accumulated edge table — at 10^12 edges a full min-label recompute
+    per ingest batch re-shuffles the world; this touches the batch's blast
+    radius only. Equivalence (tested, any batch split): draining batches
+    through this equals :func:`wcc` on the union of all edges.
+    """
+    e = new_edges
+    if threshold is not None:
+        if "weight" not in e.columns:
+            raise ValueError("threshold requires edges.weight")
+        e = e.where(F.col("weight") > float(threshold))
+    e = e.select("src", "dst")
+
+    prev = prev_components.select("node_id", "component")
+    # endpoints BEFORE dropping self-loops: a self-loop still introduces its
+    # node (as a singleton), exactly as graph_from_edges does for full wcc
+    ends = (e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .distinct())
+    e = e.where(F.col("src") != F.col("dst"))
+    # endpoints never seen before enter as their own singleton component
+    fresh = ends.join(prev, "node_id", "left_anti").select(
+        "node_id", F.col("node_id").alias("component"))
+    labels = prev.unionByName(fresh).persist()
+
+    # endpoint → current component (the batch side is small: broadcast it
+    # into the label table's layout rather than shuffling the labels)
+    s_lab = labels.select(F.col("node_id").alias("_sn"),
+                          F.col("component").alias("_sc"))
+    d_lab = labels.select(F.col("node_id").alias("_dn"),
+                          F.col("component").alias("_dc"))
+    contracted = (
+        e.join(s_lab, e.src == F.col("_sn"))
+        .join(d_lab, e.dst == F.col("_dn"))
+        .where(F.col("_sc") != F.col("_dc"))
+        .select(F.col("_sc").alias("src"), F.col("_dc").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    if contracted.limit(1).count() == 0:
+        contracted.unpersist()
+        return WccResult(labels, 0, True, [])
+
+    # min-label WCC over the touched-component graph: tiny by construction
+    inner = wcc(graph_from_edges(labels.sparkSession, contracted))
+    remap = inner.components.select(
+        F.col("node_id").alias("_old"), F.col("component").alias("_new"))
+    merged = (
+        labels.join(F.broadcast(remap), labels.component == F.col("_old"),
+                    "left")
+        .select("node_id",
+                F.coalesce(F.col("_new"), F.col("component"))
+                .alias("component"))
+    )
+    contracted.unpersist()
+    return WccResult(merged, inner.ran_iterations, inner.converged,
+                     inner.metrics)

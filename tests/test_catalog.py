@@ -71,3 +71,20 @@ def test_project_sql(spark, catalog):
         "SELECT a AS src, b AS dst FROM raw",
     )
     assert g.edges.count() == 2
+
+
+def test_list_detail_degree_distribution(spark, catalog):
+    # out-degrees: 0→3, 1→1, 2→0 (isolated target still counts as a node)
+    edges = edges_from_tuples(spark, [(0, 1), (0, 2), (0, 0), (1, 2)])
+    catalog.project("d", edges)
+    info = catalog.list_detail("d", exact=True)
+    assert info["graphName"] == "d"
+    assert info["nodeCount"] == 3 and info["relationshipCount"] == 4
+    dist = info["degreeDistribution"]
+    assert dist["n"] == 3
+    assert dist["min_score"] == 0.0 and dist["max_score"] == 3.0
+    assert dist["p50"] == 1.0
+    # approx mode: same keys, counts still exact
+    sketch = catalog.list_detail("d")["degreeDistribution"]
+    assert sketch.keys() == dist.keys()
+    assert sketch["n"] == 3
