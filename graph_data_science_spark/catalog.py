@@ -27,6 +27,8 @@ class GraphCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._graphs: dict[str, Graph] = {}
+        #: graph-store-level scalar properties, keyed by graph name
+        self._graph_props: dict[str, dict] = {}
 
     # -- gds.graph.project analog -------------------------------------------
     def project(
@@ -76,6 +78,7 @@ class GraphCatalog:
 
     def drop(self, name: str) -> None:
         g = self._graphs.pop(name, None)
+        self._graph_props.pop(name, None)
         if g is not None:
             for df in (g.nodes, g.edges):
                 try:
@@ -108,6 +111,224 @@ class GraphCatalog:
             "directed": g.directed,
             "degreeDistribution": dist,
         }
+
+    # -- relationship lifecycle (gds.graph.relationships.*) ------------------
+    def stream_relationships(
+        self, name: str, rel_types: list[str] | None = None
+    ) -> DataFrame:
+        """``gds.graph.relationships.stream`` analog
+        (proc/catalog/.../GraphStreamRelationshipsProc.java): the topology as
+        ``(src, dst, rel_type)``. Untyped graphs stream the reference's
+        catch-all ``__ALL__`` type. Pure projection + pushed filter — at any
+        scale this is a parquet scan, never a collect."""
+        g = self.get(name)
+        e = g.edges
+        if "rel_type" not in e.columns:
+            e = e.withColumn("rel_type", F.lit("__ALL__"))
+        if rel_types is not None:
+            e = e.where(F.col("rel_type").isin(list(rel_types)))
+        return e.select("src", "dst", "rel_type")
+
+    def stream_relationship_properties(
+        self, name: str, properties: list[str],
+        rel_types: list[str] | None = None,
+    ) -> DataFrame:
+        """``gds.graph.relationshipProperties.stream`` analog
+        (GraphStreamRelationshipPropertiesProc.java): LONG format — one row
+        per (edge, property): ``(src, dst, rel_type, relationship_property,
+        property_value)``. The unpivot is a ``stack``-style explode of a
+        struct array, one pass, no shuffle."""
+        g = self.get(name)
+        e = g.edges
+        missing = [p for p in properties if p not in e.columns]
+        if missing:
+            raise KeyError(f"relationship properties {missing} not in graph "
+                           f"{name!r} (have {e.columns})")
+        if "rel_type" not in e.columns:
+            e = e.withColumn("rel_type", F.lit("__ALL__"))
+        if rel_types is not None:
+            e = e.where(F.col("rel_type").isin(list(rel_types)))
+        pairs = F.array(*[
+            F.struct(F.lit(p).alias("relationship_property"),
+                     F.col(p).cast("double").alias("property_value"))
+            for p in properties
+        ])
+        return (
+            e.select("src", "dst", "rel_type", F.explode(pairs).alias("_kv"))
+            .select("src", "dst", "rel_type",
+                    "_kv.relationship_property", "_kv.property_value")
+        )
+
+    def write_relationships(
+        self, name: str, path: str, rel_type: str | None = None,
+        property: str | None = None,
+    ) -> None:
+        """``gds.graph.relationship.write`` analog
+        (GraphWriteRelationshipProc.java): persist ONE relationship type's
+        topology (+ optionally one property) to the sink — here a parquet
+        table, the engine's write-back surface."""
+        g = self.get(name)
+        e = g.edges
+        if rel_type is not None and "rel_type" in e.columns:
+            e = e.where(F.col("rel_type") == rel_type)
+        cols = ["src", "dst"] + ([property] if property else [])
+        e.select(*cols).write.mode("overwrite").parquet(path)
+
+    def drop_relationships(self, name: str, rel_type: str) -> Graph:
+        """``gds.graph.relationships.drop`` analog
+        (GraphDropRelationshipProc.java): remove one relationship type (and
+        its properties) from the catalog entry. Like the reference, refuses
+        to drop the LAST type — a graph with no relationships is invalid."""
+        from dataclasses import replace
+
+        g = self.get(name)
+        if "rel_type" not in g.edges.columns:
+            raise ValueError(
+                f"graph {name!r} has no rel_type column; nothing to drop")
+        remaining = [
+            r["rel_type"]
+            for r in g.edges.select("rel_type").distinct().collect()
+        ]
+        if rel_type not in remaining:
+            raise KeyError(f"relationship type {rel_type!r} not in graph "
+                           f"{name!r} (have {sorted(remaining)})")
+        if len(remaining) == 1:
+            raise ValueError(
+                f"cannot drop the last relationship type {rel_type!r} "
+                f"of graph {name!r} (reference parity: "
+                "DeleteRelationshipsConfig requires a remaining type)")
+        g = replace(g, edges=g.edges.where(F.col("rel_type") != rel_type),
+                    _edge_count=None)
+        self._graphs[name] = g
+        return g
+
+    # -- node label lifecycle (gds.graph.nodeLabel.*) -------------------------
+    def mutate_node_label(self, name: str, label: str,
+                          node_filter: str) -> Graph:
+        """``gds.graph.nodeLabel.mutate`` analog
+        (GraphMutateNodeLabelProc.java): add ``label`` to every node matching
+        the SQL ``node_filter`` predicate. Labels live in a ``labels``
+        array<string> column (absent = no labels yet); idempotent via
+        array_union. One projection, no shuffle."""
+        from dataclasses import replace
+
+        g = self.get(name)
+        nodes = g.nodes
+        if "labels" not in nodes.columns:
+            nodes = nodes.withColumn(
+                "labels", F.array().cast("array<string>"))
+        matched = F.expr(node_filter)
+        nodes = nodes.withColumn(
+            "labels",
+            F.when(matched, F.array_union(
+                F.coalesce(F.col("labels"),
+                           F.array().cast("array<string>")),
+                F.array(F.lit(label)))).otherwise(F.col("labels")),
+        )
+        g = replace(g, nodes=nodes)
+        self._graphs[name] = g
+        return g
+
+    def write_node_label(self, name: str, path: str, label: str,
+                         node_filter: str) -> None:
+        """``gds.graph.nodeLabel.write`` analog (GraphWriteNodeLabelProc):
+        persist the matched node ids + label to the sink table."""
+        g = self.get(name)
+        (g.nodes.where(F.expr(node_filter))
+         .select("node_id", F.lit(label).alias("label"))
+         .write.mode("overwrite").parquet(path))
+
+    # -- graph-level properties (gds.graph.graphProperty.*) -------------------
+    def set_graph_property(self, name: str, key: str, value) -> None:
+        """Graph-store-level scalar property (the reference's
+        GraphStore.addGraphProperty surface, written by e.g. sampling procs)."""
+        self.get(name)  # existence check
+        self._graph_props.setdefault(name, {})[key] = value
+
+    def stream_graph_properties(self, name: str,
+                                keys: list[str] | None = None) -> list[dict]:
+        """``gds.graph.graphProperty.stream`` analog
+        (GraphStreamGraphPropertiesProc.java). Graph properties are O(1)
+        scalars; a driver-side list is the honest shape."""
+        self.get(name)
+        props = self._graph_props.get(name, {})
+        ks = sorted(props) if keys is None else list(keys)
+        missing = [k for k in ks if k not in props]
+        if missing:
+            raise KeyError(f"graph properties {missing} not on {name!r}")
+        return [{"propertyName": k, "propertyValue": props[k]} for k in ks]
+
+    def drop_graph_properties(self, name: str, keys: list[str]) -> None:
+        """``gds.graph.graphProperties.drop`` analog
+        (GraphDropGraphPropertiesProc.java)."""
+        self.get(name)
+        props = self._graph_props.get(name, {})
+        missing = [k for k in keys if k not in props]
+        if missing:
+            raise KeyError(f"graph properties {missing} not on {name!r}")
+        for k in keys:
+            del props[k]
+
+    # -- sysinfo (gds.graph.memoryUsage / ListProgress) -----------------------
+    def memory_usage(self, name: str,
+                     executor_memory_bytes: int = 4 << 30) -> dict:
+        """``gds.internal.graph.memoryUsage`` analog
+        (GraphMemoryUsageProc.java): bytes the projected graph occupies,
+        derived from the SAME width model the ``.estimate`` surface uses
+        (operators/estimate.py) — schema-width × row counts, split by table,
+        plus the executor-admission verdict at current shuffle settings."""
+        from graph_data_science_spark.operators.estimate import (
+            fits_executors,
+            table_bytes,
+        )
+
+        g = self.get(name)
+        n_bytes = table_bytes(g.node_count(), g.nodes.schema)
+        e_bytes = table_bytes(g.edge_count(), g.edges.schema)
+        parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return {
+            "graphName": name,
+            "nodeCount": g.node_count(),
+            "relationshipCount": g.edge_count(),
+            "nodeBytes": n_bytes,
+            "relationshipBytes": e_bytes,
+            "totalBytes": n_bytes + e_bytes,
+            "fitsExecutors": fits_executors(
+                n_bytes + e_bytes, parts, executor_memory_bytes),
+        }
+
+    def list_progress(self, checkpoint_root: str) -> list[dict]:
+        """``gds.listProgress`` analog (ListProgressProc.java): one row per
+        Pregel run under ``checkpoint_root`` — the algorithm manifest plus
+        the latest superstep from metrics.jsonl (the driver appends one line
+        per superstep, so progress is readable WHILE a run is executing,
+        which is the proc's point)."""
+        import json
+        import os
+
+        rows = []
+        if not os.path.isdir(checkpoint_root):
+            return rows
+        for entry in sorted(os.listdir(checkpoint_root)):
+            run_dir = os.path.join(checkpoint_root, entry)
+            manifest_path = os.path.join(run_dir, "manifest.json")
+            if not os.path.isfile(manifest_path):
+                continue
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+            last = None
+            metrics_path = os.path.join(run_dir, "metrics.jsonl")
+            if os.path.isfile(metrics_path):
+                with open(metrics_path) as fh:
+                    for line in fh:
+                        if line.strip():
+                            last = json.loads(line)
+            rows.append({
+                "runDir": entry,
+                "manifest": manifest,
+                "lastSuperstep": last,
+            })
+        return rows
 
     # -- mutate / property lifecycle (gds.graph.nodeProperties.*) ------------
     def mutate(self, name: str, values: DataFrame, column: str) -> Graph:

@@ -83,6 +83,27 @@ def louvain_spark_bytes(node_count: int, edge_count: int) -> dict:
     }
 
 
+#: nominal per-value widths for schema-driven table sizing (bytes).
+#: variable-width types get the planning-time nominal the reference's
+#: MemoryUsage.java uses for its own unknowable fields.
+_TYPE_WIDTH = {
+    "byte": 1, "short": 2, "integer": 4, "long": 8, "float": 4,
+    "double": 8, "boolean": 1, "date": 4, "timestamp": 8,
+    "timestamp_ntz": 8, "string": 24,
+}
+
+
+def table_bytes(n_rows: int, schema) -> int:
+    """Estimated in-memory bytes of a DataFrame: Σ field widths ×
+    rows × Tungsten row overhead. Containers (array/map/struct) count a
+    nominal 64 B — the admission check wants the right ORDER, not the
+    allocator's truth (same posture as the reference's MemoryEstimations
+    RANGE results)."""
+    width = sum(
+        _TYPE_WIDTH.get(f.dataType.typeName(), 64) for f in schema.fields)
+    return int(n_rows * width * _ROW_OVERHEAD)
+
+
 def fits_executors(state_bytes: int, shuffle_partitions: int,
                    executor_memory_bytes: int, headroom: float = 0.5) -> bool:
     """Admission check: does the biggest per-partition slice of superstep
