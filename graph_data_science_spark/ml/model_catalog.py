@@ -146,6 +146,30 @@ class ModelCatalog:
             from graph_data_science_spark.operators.graphsage import (
                 graphsage_predict)
             return graphsage_predict(args[0], args[1], m, **kwargs)
+        if t == "logistic_regression_ovr":
+            # one-vs-rest dict of per-class LogRegModels (node
+            # classification): score every class, argmax — the same
+            # selection node_classification_pipeline applies at train time
+            from pyspark.sql import functions as F
+
+            from graph_data_science_spark.ml.pipelines import predict_proba
+            df = args[0]
+            classes = sorted(m)
+            for c in classes:
+                df = predict_proba(df, m[c], out=f"_p{c}")
+            best = F.greatest(*[F.col(f"_p{c}") for c in classes])
+            pred = None
+            for c in reversed(classes):
+                cur = F.when(F.col(f"_p{c}") == best, F.lit(int(c)))
+                pred = cur if pred is None else cur.otherwise(pred)
+            return df.withColumn("predicted", pred).drop(
+                *[f"_p{c}" for c in classes])
+        if t == "linear_regression":
+            from pyspark.sql import functions as F
+
+            from graph_data_science_spark.ml.pipelines import _dot
+            return args[0].withColumn(
+                "predicted", F.round(_dot(m.weights), 6))
         raise ValueError(f"no predict dispatch for model type {t!r}")
 
 

@@ -337,10 +337,13 @@ def node_classification_pipeline(
     classes = sorted(r[0] for r in train.select("label").distinct().collect())
     models: dict[int, LogRegModel] = {}
     scored = test.select("node_id", "label", "x")
+    # classifier_params may override iterations (same contract as the mlp
+    # branch above); the pipeline argument is the default
+    params.setdefault("iterations", iterations)
     for c in classes:
         m = logreg_fit(
             train.select("x", (F.col("label") == int(c)).cast("double").alias("y")),
-            embedding_dim, iterations, **params)
+            embedding_dim, **params)
         models[int(c)] = m
         scored = predict_proba(scored, m, out=f"_p{c}")
     best = None
