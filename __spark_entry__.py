@@ -1452,7 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- corpus pipeline decisions (round-3 additions) ------------------------
     from graph_data_science_spark.operators.pipeline_ops import (
         corpus_vocabulary, decontaminate, hash_split, near_duplicate_clusters,
-        tf_idf_top_terms)
+        pack_sequences, regex_scan, stratified_sample, tf_idf_top_terms)
 
     q["near_duplicate_clusters"] = lambda s, d: near_duplicate_clusters(
         _docs(s, d), num_hashes=8, bands=4)
@@ -1461,6 +1461,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["decontaminate"] = lambda s, d: decontaminate(
         _docs(s, d), shingle_n=3, eval_mod=20)
     q["hash_split"] = lambda s, d: hash_split(_docs(s, d))
+    q["pack_sequences"] = lambda s, d: pack_sequences(
+        _docs(s, d), max_tokens=64, n_shards=8)
+    q["stratified_sample"] = lambda s, d: stratified_sample(
+        _docs(s, d), strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25}, default_fraction=0.1, seed=77)
+    q["regex_scan"] = lambda s, d: regex_scan(
+        _docs(s, d), patterns={
+            "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+            "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+            "term_table": r"\btable\b",
+            "term_fast_or_slow": r"\b(fast|slow)\b",
+        })
 
     # -- function surface (gds.similarity.* / gds.alpha.linkprediction.*) ----
     from graph_data_science_spark.functions import (
@@ -1563,6 +1575,8 @@ _GATE_FIRST = [
     # round-3 corpus-pipeline additions (all fully oracled)
     "near_duplicate_clusters", "corpus_vocabulary", "tfidf_top_terms",
     "decontaminate", "hash_split",
+    # round-3 batch 2: sequence packing, corpus mixing, PII/blocklist scan
+    "pack_sequences", "stratified_sample", "regex_scan",
     # round-3 parity addition (canonical deterministic order over dag_levels)
     "dag_topological_sort",
     # round-3 addition: bucketed delta-stepping SSSP (new kernel)
@@ -2029,6 +2043,50 @@ SELECT doc_id,
             WHEN {_u01_sql("doc_id", "'split'", "42")} < {(0.8 + 0.1)!r} THEN 'val'
             ELSE 'test' END AS split
 FROM documents"""
+
+    # pack_sequences: same sharded pack-and-chop arithmetic; DuckDB range()
+    # is half-open so the span upper bound is last_seq + 1; integer division
+    # via // matches Spark's floor() on non-negative offsets
+    o["pack_sequences"] = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS token FROM w),
+tc AS (SELECT doc_id, COUNT(*) AS tc FROM t WHERE token <> '' GROUP BY doc_id),
+d AS (SELECT doc_id, doc_id % 8 AS shard, tc,
+             CAST(COALESCE(SUM(tc) OVER (PARTITION BY doc_id % 8
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM tc),
+e AS (SELECT doc_id, shard, tc, off,
+             unnest(range(off // 64, (off + tc - 1) // 64 + 1)) AS seq_in_shard
+      FROM d)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(seq_in_shard AS BIGINT) AS seq_in_shard,
+       CAST(LEAST(off + tc, (seq_in_shard + 1) * 64)
+            - GREATEST(off, seq_in_shard * 64) AS BIGINT) AS n_tokens
+FROM e"""
+
+    # stratified_sample: the engine's when-chain folds fractions in sorted
+    # key order; thresholds are Python-double reprs for bit-identity
+    o["stratified_sample"] = f"""
+SELECT doc_id, lang AS stratum,
+       {_u01_sql("doc_id", "lang", "77")} <
+         CASE WHEN lang = 'en' THEN {0.5!r}
+              WHEN lang = 'de' THEN {0.25!r}
+              ELSE {0.1!r} END AS sampled
+FROM documents"""
+
+    # regex_scan: the four patterns avoid Java-vs-RE2 divergent syntax;
+    # both engines count non-overlapping leftmost matches of group 0
+    o["regex_scan"] = r"""
+WITH p AS (SELECT * FROM (VALUES
+    ('email', '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'),
+    ('ipv4', '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'),
+    ('term_table', '\btable\b'),
+    ('term_fast_or_slow', '\b(fast|slow)\b')) AS v(pattern, rx))
+SELECT d.doc_id, p.pattern,
+       CAST(len(regexp_extract_all(lower(d.text), p.rx, 0)) AS BIGINT)
+         AS n_matches
+FROM documents d CROSS JOIN p"""
 
     # -- function surface (gds.similarity.* / gds.alpha.linkprediction.*) ----
     # element-wise list arithmetic: DuckDB list_zip yields unnamed structs,

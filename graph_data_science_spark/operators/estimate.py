@@ -571,6 +571,12 @@ ESTIMATOR_FOR_QUERY = {
     "tfidf_top_terms": "tfidf",
     "decontaminate": "decontaminate",
     "hash_split": "text_scan",               # one linear scan + hash, per-doc state
+    # pack_sequences: one doc-count-sized token-tally agg + a sharded
+    # prefix-sum window — the corpus_vocabulary single-shuffle shape
+    "pack_sequences": "corpus_vocabulary",
+    # per-row hash/regex decisions: linear scan, no shuffle, no state
+    "stratified_sample": "text_scan",
+    "regex_scan": "text_scan",
     "dag_topological_sort": "dag_levels",    # same level-relaxation kernel
     "sssp_delta": "sssp",                    # same state; banded frontier schedule
     # two occurrence-sized map-side-combinable n-gram aggs — the

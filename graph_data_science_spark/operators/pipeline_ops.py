@@ -182,6 +182,139 @@ def decontaminate(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack-and-chop documents into fixed-length training sequences →
+    ``(doc_id, shard, seq_in_shard, n_tokens)``.
+
+    The GPT-style pretraining packer: concatenate documents in a
+    deterministic order and chop the token stream at ``max_tokens``
+    boundaries, letting documents straddle sequence breaks. A document
+    occupying token offsets ``[off, off+tc)`` of its shard's stream lands in
+    sequences ``floor(off/N) .. floor((off+tc-1)/N)``, contributing
+    ``n_tokens`` to each — so ``sum(n_tokens)`` per (shard, seq) is exactly
+    ``max_tokens`` except each shard's tail. Tokens are the whitespace
+    tokens of the normalized text (the corpus-wide convention); empty docs
+    produce no rows.
+
+    Scale: a single global concatenation order would serialize the window
+    cumsum through one partition, so packing is SHARDED — ``shard =
+    doc_id % n_shards`` and the prefix-sum window partitions by shard,
+    giving ``n_shards``-way parallelism with sequences never straddling
+    shards (exactly how real pipelines pack per input shard). At 100 TB,
+    n_shards = O(#cores) keeps every window partition cache-sized.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tc"))
+    n = int(max_tokens)
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = tc.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(int(n_shards)))) \
+          .withColumn("off", F.coalesce(F.sum("tc").over(w), F.lit(0)))
+    spans = d.select(
+        "doc_id", "shard", "tc", "off",
+        F.explode(F.sequence(
+            F.floor(F.col("off") / n),
+            F.floor((F.col("off") + F.col("tc") - 1) / n))).alias("seq_in_shard"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("seq_in_shard").cast("long").alias("seq_in_shard"),
+        (F.least(F.col("off") + F.col("tc"), (F.col("seq_in_shard") + 1) * n)
+         - F.greatest(F.col("off"), F.col("seq_in_shard") * n))
+        .cast("long").alias("n_tokens"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling decision →
+    ``(doc_id, stratum, sampled)``.
+
+    The corpus-mixing knob: keep each stratum (language, source, quality
+    bucket) at its own rate — ``sampled`` iff
+    ``u01(doc_id, stratum, seed) < fraction(stratum)``. Hash-based like
+    :func:`hash_split`, so the decision is stable under reshuffles, re-runs
+    and cluster-size changes, and INDEPENDENT per stratum (changing one
+    stratum's rate never flips another stratum's rows — the property
+    ``df.sampleBy`` lacks across re-runs because it draws from partition
+    RNG streams).
+
+    Plan: one narrow projection, no shuffle, whole-stage codegen.
+    """
+    fr = {str(k): float(v) for k, v in (fractions or {}).items()}
+    from graph_data_science_spark.operators.embeddings import _u01
+
+    u = _u01(F.col(id_col), F.col(strata_col), F.lit(int(seed)))
+    frac = F.lit(float(default_fraction))
+    for k in sorted(fr):
+        frac = F.when(F.col(strata_col) == k, F.lit(fr[k])).otherwise(frac)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        (u < frac).alias("sampled"),
+    )
+
+
+#: default regex_scan patterns: two PII detectors (the filters every corpus
+#: pipeline runs; valid in both Java regex and RE2 so the DuckDB oracle is
+#: bit-identical) plus a blocklist-term counter shape.
+DEFAULT_SCAN_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "digit_run": r"\d{9,}",
+}
+
+
+def regex_scan(
+    docs: DataFrame,
+    patterns: dict[str, str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document regex hit counts → ``(doc_id, pattern, n_matches)``,
+    one row per (doc, pattern) including zeros.
+
+    The PII-scrub / blocklist-filter primitive: count non-overlapping
+    matches of each named pattern against the lowercased text. Long format
+    so downstream pivots/filters (``WHERE pattern='email' AND n_matches>0``)
+    compose; zero rows are kept so the output is a complete decision table.
+
+    Stays JVM-side: ``regexp_extract_all`` (group 0) + ``size`` inside
+    whole-stage codegen — one narrow pass over the corpus per pattern, no
+    Python. Patterns must avoid Java-vs-RE2 divergent syntax (lookaround,
+    backreferences) — the defaults do.
+    """
+    pats = patterns or DEFAULT_SCAN_PATTERNS
+    lowered = F.lower(F.col(text_col))
+    per = [
+        F.struct(
+            F.lit(name).alias("pattern"),
+            F.size(F.regexp_extract_all(lowered, F.lit(rx), F.lit(0)))
+            .cast("long").alias("n_matches"))
+        for name, rx in sorted(pats.items())
+    ]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(*per)).alias("m"),
+    ).select("doc_id", "m.pattern", "m.n_matches")
+
+
 def hash_split(
     docs: DataFrame,
     train: float = 0.8,

@@ -181,3 +181,148 @@ def test_near_duplicate_clusters_equals_union_find(spark, corpus):
     got = {r["doc_id"]: r["cluster_id"]
            for r in near_duplicate_clusters(d, num_hashes=8, bands=4).collect()}
     assert got == expected
+
+
+# -- pack_sequences -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pack_docs(spark):
+    # token counts: 10, 10, 10, 10, 10, 10, plus an empty doc and a long one
+    rows = [(i, " ".join(f"w{j}" for j in range(10))) for i in range(6)]
+    rows.append((6, "   "))                                   # empty → no rows
+    rows.append((7, " ".join(f"x{j}" for j in range(25))))    # straddles seqs
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pack_sequences_conserves_tokens(pack_docs):
+    from graph_data_science_spark.operators.pipeline_ops import pack_sequences
+
+    res = pack_sequences(pack_docs, max_tokens=16, n_shards=2).collect()
+    per_doc = {}
+    for r in res:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+    # every token lands exactly once; the empty doc vanishes
+    assert per_doc == {0: 10, 1: 10, 2: 10, 3: 10, 4: 10, 5: 10, 7: 25}
+
+
+def test_pack_sequences_full_sequences_except_tail(pack_docs):
+    from graph_data_science_spark.operators.pipeline_ops import pack_sequences
+
+    res = pack_sequences(pack_docs, max_tokens=16, n_shards=2).collect()
+    per_seq = {}
+    for r in res:
+        key = (r["shard"], r["seq_in_shard"])
+        per_seq[key] = per_seq.get(key, 0) + r["n_tokens"]
+    for shard in (0, 1):
+        seqs = sorted(k[1] for k in per_seq if k[0] == shard)
+        # sequence ids are contiguous from 0
+        assert seqs == list(range(len(seqs)))
+        tail = max(seqs)
+        for s in seqs:
+            if s < tail:
+                assert per_seq[(shard, s)] == 16, (shard, s)
+            else:
+                assert 1 <= per_seq[(shard, tail)] <= 16
+
+
+def test_pack_sequences_doc_straddles_boundary(pack_docs):
+    from graph_data_science_spark.operators.pipeline_ops import pack_sequences
+
+    # shard 1 = odd ids by insertion: docs 1,3,5 (10 each) then 7 (25):
+    # offsets 0,10,20,30 → doc 7 spans seqs 1..3 of shard 1 at N=16
+    res = {(r["shard"], r["seq_in_shard"]): r["n_tokens"]
+           for r in pack_sequences(pack_docs, max_tokens=16, n_shards=2)
+           .where(F.col("doc_id") == 7).collect()}
+    assert res == {(1, 1): 2, (1, 2): 16, (1, 3): 7}
+
+
+def test_pack_sequences_partition_invariant(pack_docs):
+    from graph_data_science_spark.operators.pipeline_ops import pack_sequences
+
+    a = sorted(map(tuple, pack_sequences(
+        pack_docs.repartition(1), max_tokens=16, n_shards=2).collect()))
+    b = sorted(map(tuple, pack_sequences(
+        pack_docs.repartition(7), max_tokens=16, n_shards=2).collect()))
+    assert a == b
+
+
+# -- stratified_sample --------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def strata_docs(spark):
+    rows = [(i, f"doc {i}", ["en", "de", "fr"][i % 3]) for i in range(300)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_stratified_sample_rates_and_determinism(strata_docs):
+    from graph_data_science_spark.operators.pipeline_ops import stratified_sample
+
+    res = stratified_sample(
+        strata_docs, fractions={"en": 0.5, "de": 0.0}, default_fraction=1.0,
+        seed=7).collect()
+    assert len(res) == 300
+    by = {}
+    for r in res:
+        by.setdefault(r["stratum"], []).append(r["sampled"])
+    assert not any(by["de"])            # fraction 0 keeps nothing
+    assert all(by["fr"])                # default 1.0 keeps everything
+    assert 0.3 < sum(by["en"]) / len(by["en"]) < 0.7
+    # bit-stable across re-runs and partitionings
+    again = stratified_sample(
+        strata_docs.repartition(11), fractions={"en": 0.5, "de": 0.0},
+        default_fraction=1.0, seed=7).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
+def test_stratified_sample_strata_independent(strata_docs):
+    from graph_data_science_spark.operators.pipeline_ops import stratified_sample
+
+    base = {r["doc_id"]: r["sampled"] for r in stratified_sample(
+        strata_docs, fractions={"en": 0.5}, default_fraction=0.3,
+        seed=7).collect() if r["stratum"] != "en"}
+    # changing ONLY en's rate must not flip any non-en decision
+    moved = {r["doc_id"]: r["sampled"] for r in stratified_sample(
+        strata_docs, fractions={"en": 0.9}, default_fraction=0.3,
+        seed=7).collect() if r["stratum"] != "en"}
+    assert base == moved
+
+
+def test_stratified_sample_monotone_in_fraction(strata_docs):
+    from graph_data_science_spark.operators.pipeline_ops import stratified_sample
+
+    lo = {r["doc_id"] for r in stratified_sample(
+        strata_docs, default_fraction=0.3, seed=7).collect() if r["sampled"]}
+    hi = {r["doc_id"] for r in stratified_sample(
+        strata_docs, default_fraction=0.8, seed=7).collect() if r["sampled"]}
+    assert lo <= hi                     # raising the rate only adds docs
+
+
+# -- regex_scan ---------------------------------------------------------------
+
+def test_regex_scan_counts_and_zero_rows(spark):
+    from graph_data_science_spark.operators.pipeline_ops import regex_scan
+
+    docs = spark.createDataFrame([
+        (0, "contact Bob@Example.COM or alice@test.org today"),
+        (1, "server at 10.0.0.1 and 192.168.1.255 ok"),
+        (2, "card 1234567890123456 checked"),
+        (3, "nothing sensitive here"),
+    ], ["doc_id", "text"])
+    res = {(r["doc_id"], r["pattern"]): r["n_matches"]
+           for r in regex_scan(docs).collect()}
+    # complete decision table: every (doc, pattern) including zeros
+    assert len(res) == 4 * 3
+    assert res[(0, "email")] == 2 and res[(0, "ipv4")] == 0
+    assert res[(1, "ipv4")] == 2 and res[(1, "email")] == 0
+    assert res[(2, "digit_run")] == 1
+    assert all(res[(3, p)] == 0 for p in ("email", "ipv4", "digit_run"))
+
+
+def test_regex_scan_custom_patterns(spark):
+    from graph_data_science_spark.operators.pipeline_ops import regex_scan
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark SPARK flink")], ["doc_id", "text"])
+    res = {r["pattern"]: r["n_matches"] for r in regex_scan(
+        docs, patterns={"spark": r"\bspark\b", "beam": r"\bbeam\b"}).collect()}
+    assert res == {"spark": 3, "beam": 0}
