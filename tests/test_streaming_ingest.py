@@ -118,3 +118,66 @@ def test_streaming_pagerank_matches_batch_recompute(spark, workdir):
             for r in pagerank(_graph(e1 + e2), **kw).scores.collect()}
     assert set(s2) == set(ref2)
     assert all(abs(s2[k] - ref2[k]) < 1e-6 for k in ref2)
+
+
+# -- incremental triangle count ------------------------------------------------
+
+def _tri_graph(spark, edges):
+    from graph_data_science_spark.graph import Graph
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = (e.select(F.col("src").alias("node_id"))
+         .unionByName(e.select(F.col("dst").alias("node_id"))).distinct())
+    return Graph(nodes=n, edges=e)
+
+
+def test_triangle_delta_counts_each_new_triangle_once(spark):
+    from graph_data_science_spark.operators.triangle import (
+        canonicalize_batch, triangle_count_delta)
+
+    old = canonicalize_batch(
+        spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    ).localCheckpoint(eager=True)
+    # one new edge closes the old wedge → exactly 1
+    assert triangle_count_delta(
+        old, spark.createDataFrame([(2, 0)], "src long, dst long")) == 1
+    # a batch that is an ENTIRE new triangle (3 new edges) → exactly 1
+    assert triangle_count_delta(
+        old, spark.createDataFrame([(5, 6), (6, 7), (7, 5)],
+                                   "src long, dst long")) == 1
+    # two new edges + one old edge (0,1): triangle (0,1,9) → exactly 1
+    assert triangle_count_delta(
+        old, spark.createDataFrame([(0, 9), (9, 1)],
+                                   "src long, dst long")) == 1
+    # duplicates of old edges, reversals and self-loops add nothing
+    assert triangle_count_delta(
+        old, spark.createDataFrame([(1, 0), (2, 1), (3, 3)],
+                                   "src long, dst long")) == 0
+
+
+def test_streaming_triangle_count_matches_batch_recompute(spark, workdir):
+    from graph_data_science_spark.operators.triangle import triangle_count
+    from graph_data_science_spark.streaming.ingest import (
+        run_streaming_triangle_count)
+
+    drop = os.path.join(workdir, "tc_drop")
+    state = os.path.join(workdir, "tc_state")
+    # K4 on {0..3} (4 triangles) built across batches, plus a hub fan
+    e1 = [(0, 1), (1, 2), (2, 3)]
+    e2 = [(0, 2), (1, 3), (1, 0)]        # (1,0) duplicates edge (0,1)
+    e3 = [(0, 3), (4, 0), (4, 1), (4, 2), (4, 3)]
+
+    spark.createDataFrame(e1, "src long, dst long").write.mode(
+        "append").parquet(drop)
+    t1 = run_streaming_triangle_count(spark, drop, state)
+    assert t1 == triangle_count(_tri_graph(spark, e1)).global_count == 0
+
+    spark.createDataFrame(e2, "src long, dst long").write.mode(
+        "append").parquet(drop)
+    t2 = run_streaming_triangle_count(spark, drop, state)
+    assert t2 == triangle_count(_tri_graph(spark, e1 + e2)).global_count == 2
+
+    spark.createDataFrame(e3, "src long, dst long").write.mode(
+        "append").parquet(drop)
+    t3 = run_streaming_triangle_count(spark, drop, state)
+    assert t3 == triangle_count(
+        _tri_graph(spark, e1 + e2 + e3)).global_count == 10
