@@ -1492,6 +1492,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.col("v").alias("w"))
         return e.join(nxt, "vec_id")
 
+    from graph_data_science_spark.functions import one_hot_encoding
+
+    def _one_hot_lang(s, d):
+        langs = F.array(*[F.lit(x) for x in ("de", "en", "es", "fr", "zh")])
+        return _docs(s, d).select(
+            "doc_id",
+            F.posexplode(
+                one_hot_encoding(langs, F.array(F.col("lang")))
+            ).alias("pos", "bit"),
+        ).select("doc_id", F.col("pos").cast("long").alias("pos"), "bit")
+
+    q["one_hot_lang"] = _one_hot_lang
     q["similarity_functions_vec"] = lambda s, d: _vec_pairs(s, d).select(
         "vec_id",
         F.round(f_cosine("v", "w"), 6).alias("cosine"),
@@ -1575,8 +1587,9 @@ _GATE_FIRST = [
     # round-3 corpus-pipeline additions (all fully oracled)
     "near_duplicate_clusters", "corpus_vocabulary", "tfidf_top_terms",
     "decontaminate", "hash_split",
-    # round-3 batch 2: sequence packing, corpus mixing, PII/blocklist scan
-    "pack_sequences", "stratified_sample", "regex_scan",
+    # round-3 batch 2: sequence packing, corpus mixing, PII/blocklist scan,
+    # one-hot encoding function (OneHotEncodingFunc parity)
+    "pack_sequences", "stratified_sample", "regex_scan", "one_hot_lang",
     # round-3 parity addition (canonical deterministic order over dag_levels)
     "dag_topological_sort",
     # round-3 addition: bucketed delta-stepping SSSP (new kernel)
@@ -2087,6 +2100,16 @@ SELECT d.doc_id, p.pattern,
        CAST(len(regexp_extract_all(lower(d.text), p.rx, 0)) AS BIGINT)
          AS n_matches
 FROM documents d CROSS JOIN p"""
+
+    # one_hot_encoding (OneHotEncodingFunc.java): 1 at indices whose
+    # available value is selected; exploded long format avoids cross-engine
+    # array-repr divergence in the value hash
+    o["one_hot_lang"] = """
+WITH av AS (SELECT * FROM (VALUES
+    ('de', 0), ('en', 1), ('es', 2), ('fr', 3), ('zh', 4)) v(val, pos))
+SELECT d.doc_id, CAST(av.pos AS BIGINT) AS pos,
+       CAST(av.val = d.lang AS BIGINT) AS bit
+FROM documents d CROSS JOIN av"""
 
     # -- function surface (gds.similarity.* / gds.alpha.linkprediction.*) ----
     # element-wise list arithmetic: DuckDB list_zip yields unnamed structs,

@@ -12,3 +12,6 @@ from graph_data_science_spark.functions.similarity import (  # noqa: F401
     overlap,
     pearson,
 )
+from graph_data_science_spark.functions.encoding import (  # noqa: F401
+    one_hot_encoding,
+)

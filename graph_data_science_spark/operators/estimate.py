@@ -577,6 +577,7 @@ ESTIMATOR_FOR_QUERY = {
     # per-row hash/regex decisions: linear scan, no shuffle, no state
     "stratified_sample": "text_scan",
     "regex_scan": "text_scan",
+    "one_hot_lang": "text_scan",
     "dag_topological_sort": "dag_levels",    # same level-relaxation kernel
     "sssp_delta": "sssp",                    # same state; banded frontier schedule
     # two occurrence-sized map-side-combinable n-gram aggs — the

@@ -99,3 +99,22 @@ def test_functions_are_codegen_expressions(spark):
         overlap("v1", "v2"), euclidean("v1", "v2"),
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_one_hot_encoding_reference_null_semantics(spark):
+    """OneHotEncodingFunc.java:38-52 — null available → []; null selected
+    → zeros; else membership indicator per index."""
+    from graph_data_science_spark.functions import one_hot_encoding
+
+    df = spark.createDataFrame(
+        [(0, ["a", "b", "c"], ["b"]),
+         (1, ["a", "b", "c"], None),
+         (2, None, ["a"]),
+         (3, ["a", "b"], ["a", "b", "z"]),
+         (4, ["a", "a", "b"], ["a"])],          # duplicate available values
+        "id long, av array<string>, sel array<string>")
+    out = {r["id"]: r["oh"] for r in df.select(
+        "id", one_hot_encoding(F.col("av"), F.col("sel")).alias("oh")
+    ).collect()}
+    assert out == {0: [0, 1, 0], 1: [0, 0, 0], 2: [],
+                   3: [1, 1], 4: [1, 1, 0]}
