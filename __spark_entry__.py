@@ -1607,6 +1607,17 @@ _GATE_FIRST = [
     "link_prediction", "split_relationships", "sllpa",
 ]
 _GATE_LAST = [
+    # displaced to make room for the round-3 batch-2 gates (pack_sequences /
+    # stratified_sample / regex_scan / one_hot_lang) while keeping
+    # sssp_weighted / dag_levels / k_core_3 / coreness (paths.py /
+    # plans/pregel.py changed this round) inside: celf rides influence.py
+    # (untouched since its r02 green); all_shortest_paths shares
+    # centrality.py's msbfs kernel with betweenness, which stays gated;
+    # random_walks_biased shares walking with random_walks (gated);
+    # modularity_optimization's local-moving kernel is exercised by louvain
+    # (gated) — all four remain pytest-oracled every run
+    "celf", "all_shortest_paths", "random_walks_biased",
+    "modularity_optimization",
     # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
     # untouched this round (not just the entry — dag_levels/k_core/coreness
     # ride paths.py / plans/pregel.py, which round 3 changed, so they moved
