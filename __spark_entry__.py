@@ -1474,6 +1474,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term_fast_or_slow": r"\b(fast|slow)\b",
         })
 
+    from graph_data_science_spark.operators.pipeline_ops import (
+        hashed_ngram_features, quality_classifier)
+
+    q["hashed_features"] = lambda s, d: hashed_ngram_features(
+        _docs(s, d), dim=64)
+
+    def _quality_classifier_scores(s, d):
+        # weak labels derived deterministically from the table itself
+        # (length proxy — the fastText-recipe stand-in); rows-only entry:
+        # model training is not SQL-expressible
+        docs = _docs(s, d)
+        labels = docs.select(
+            "doc_id", (F.col("n_chars") >= 150).cast("int").alias("y"))
+        _, scored = quality_classifier(docs, labels, dim=32, iterations=10)
+        return scored
+
+    q["quality_classifier_scores"] = _quality_classifier_scores
+
     # -- function surface (gds.similarity.* / gds.alpha.linkprediction.*) ----
     from graph_data_science_spark.functions import (
         cosine as f_cosine,
@@ -1590,6 +1608,9 @@ _GATE_FIRST = [
     # round-3 batch 2: sequence packing, corpus mixing, PII/blocklist scan,
     # one-hot encoding function (OneHotEncodingFunc parity)
     "pack_sequences", "stratified_sample", "regex_scan", "one_hot_lang",
+    # round-3 batch 2: hashing-trick featurizer (oracled) + learned quality
+    # filter (rows-only: model training is not SQL-expressible)
+    "hashed_features", "quality_classifier_scores",
     # round-3 parity addition (canonical deterministic order over dag_levels)
     "dag_topological_sort",
     # round-3 addition: bucketed delta-stepping SSSP (new kernel)
@@ -1618,6 +1639,12 @@ _GATE_LAST = [
     # (gated) — all four remain pytest-oracled every run
     "celf", "all_shortest_paths", "random_walks_biased",
     "modularity_optimization",
+    # displaced for the hashed_features / quality_classifier_scores gates:
+    # k1coloring's kernel is untouched this round (clustering.py's round-3
+    # change was kmeans init — kmeans stays gated); hashgnn's kernel is
+    # untouched (embeddings.py's round-3 change was node2vec — fastrp and
+    # the walk entries stay gated)
+    "k1coloring", "hashgnn",
     # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
     # untouched this round (not just the entry — dag_levels/k_core/coreness
     # ride paths.py / plans/pregel.py, which round 3 changed, so they moved
@@ -2098,6 +2125,18 @@ SELECT doc_id, lang AS stratum,
               WHEN lang = 'de' THEN {0.25!r}
               ELSE {0.1!r} END AS sampled
 FROM documents"""
+
+    # hashed_ngram_features: the hashing-trick slot is the same md5
+    # top-60-bit integer as _u01_sql, taken mod dim (both engines compute
+    # a positive < 2^60 value, so % agrees)
+    o["hashed_features"] = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS token FROM w)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 64
+            AS BIGINT) AS slot,
+       COUNT(*) AS cnt
+FROM t WHERE token <> '' GROUP BY doc_id, slot"""
 
     # regex_scan: the four patterns avoid Java-vs-RE2 divergent syntax;
     # both engines count non-overlapping leftmost matches of group 0

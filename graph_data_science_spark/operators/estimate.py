@@ -578,6 +578,12 @@ ESTIMATOR_FOR_QUERY = {
     "stratified_sample": "text_scan",
     "regex_scan": "text_scan",
     "one_hot_lang": "text_scan",
+    # hashing-trick featurizer: one occurrence-sized partial-aggregatable
+    # groupBy — the corpus_vocabulary shuffle shape with a dim-bounded key
+    "hashed_features": "corpus_vocabulary",
+    # learned quality filter: featurize + per-iteration scalar agg (d+1
+    # doubles to the driver) + broadcast-weight scoring scan
+    "quality_classifier_scores": "corpus_vocabulary",
     "dag_topological_sort": "dag_levels",    # same level-relaxation kernel
     "sssp_delta": "sssp",                    # same state; banded frontier schedule
     # two occurrence-sized map-side-combinable n-gram aggs — the

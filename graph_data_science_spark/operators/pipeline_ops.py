@@ -340,3 +340,93 @@ def hash_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    dim: int = 64,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    long_format: bool = True,
+) -> DataFrame:
+    """Hashing-trick bag-of-n-grams → ``(doc_id, slot, count)`` (long
+    format, the oracle shape) or ``(doc_id, features array<double>[dim])``.
+
+    The fastText/CCNet feature map: token (or word n-gram) → md5 top-60-bit
+    slot ``mod dim``, counts aggregated per (doc, slot). No vocabulary pass
+    and no driver-side dictionary — the feature space is fixed at ``dim``
+    regardless of corpus size, which is what makes the hashing trick the
+    100 TB featurizer (a real vocabulary is a second shuffle and a
+    broadcast that grows with the corpus). Collisions are the accepted
+    trade, as in the original (Weinberger et al. 2009).
+
+    Plan: explode → md5 slot (codegen) → one partial-aggregatable groupBy;
+    shuffle rows are (doc_id, slot) pairs, bounded by min(tokens, docs·dim).
+    The dense variant pivots long→array via a second small agg keyed doc_id.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(F.col(text_col), int(n))).alias("gram")
+        if int(n) > 1 else
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("gram"),
+    ).where(F.col("gram") != "")
+    slot = (F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+            .cast("long") % int(dim)).alias("slot")
+    long = (grams.select("doc_id", slot)
+            .groupBy("doc_id", "slot")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    if long_format:
+        return long
+    dense = long.groupBy("doc_id").agg(
+        F.map_from_arrays(F.collect_list("slot"),
+                          F.collect_list("cnt")).alias("_m"))
+    idx = F.array(*[F.lit(i).cast("long") for i in range(int(dim))])
+    return dense.select(
+        "doc_id",
+        F.transform(
+            idx, lambda i: F.coalesce(F.element_at("_m", i), F.lit(0))
+            .cast("double")).alias("features"))
+
+
+def quality_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    dim: int = 64,
+    iterations: int = 30,
+    learning_rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Learned quality filter (the CCNet/fastText recipe): hashing-trick
+    features → the engine's distributed logistic regression → per-doc keep
+    probability. ``labels`` is (doc_id, y ∈ {0,1}) weak supervision (e.g.
+    "wiki-like" vs "crawl"). Returns ``(model, scored)`` where ``scored``
+    is every input doc as (doc_id, probability, predicted).
+
+    Everything distributed: the featurizer is one agg, training is
+    d+1 doubles to the driver per iteration (ml/pipelines.logreg_fit), and
+    scoring is a broadcast-weight projection — the shape that holds when
+    "docs" is the 100 TB crawl and "labels" is a few million rows.
+
+    NOTE the word-salad caveat: n=1 hashed counts are a linear bag-of-words
+    — the test fixtures encode separable vocabularies, as the real recipe's
+    wiki-vs-crawl labels do.
+    """
+    from graph_data_science_spark.ml.pipelines import logreg_fit, predict_proba
+
+    feats = hashed_ngram_features(
+        docs, dim=dim, text_col=text_col, id_col=id_col, long_format=False)
+    train = feats.join(
+        labels.select(F.col(id_col).alias("doc_id"),
+                      F.col("y").cast("double").alias("y")), "doc_id")
+    model = logreg_fit(
+        train.select(F.col("features").alias("x"), "y"),
+        dim=int(dim), iterations=int(iterations),
+        learning_rate=float(learning_rate))
+    scored = predict_proba(
+        feats.select("doc_id", F.col("features").alias("x")), model)
+    scored = scored.select(
+        "doc_id", F.round("probability", 6).alias("probability"),
+        (F.col("probability") >= 0.5).alias("predicted"))
+    return model, scored

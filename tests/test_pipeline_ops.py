@@ -326,3 +326,75 @@ def test_regex_scan_custom_patterns(spark):
     res = {r["pattern"]: r["n_matches"] for r in regex_scan(
         docs, patterns={"spark": r"\bspark\b", "beam": r"\bbeam\b"}).collect()}
     assert res == {"spark": 3, "beam": 0}
+
+
+# -- hashed_ngram_features / quality_classifier --------------------------------
+
+def test_hashed_features_long_dense_consistent(spark):
+    from graph_data_science_spark.operators.pipeline_ops import (
+        hashed_ngram_features)
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "beta gamma"), (2, "   ")],
+        ["doc_id", "text"])
+    long = hashed_ngram_features(docs, dim=8).collect()
+    # counts conserve occurrences: doc 0 has 3 tokens over ≤2 slots
+    per_doc = {}
+    for r in long:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["cnt"]
+        assert 0 <= r["slot"] < 8
+    assert per_doc == {0: 3, 1: 2}          # empty doc vanishes
+    dense = {r["doc_id"]: r["features"] for r in hashed_ngram_features(
+        docs, dim=8, long_format=False).collect()}
+    for r in long:
+        assert dense[r["doc_id"]][r["slot"]] == float(r["cnt"])
+    assert all(len(v) == 8 for v in dense.values())
+    # slots match the portable md5 top-60-bit hash exactly (content-keyed)
+    import hashlib
+
+    def _slot(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8
+
+    expected0 = {}
+    for tok in ("alpha", "beta", "alpha"):
+        expected0[_slot(tok)] = expected0.get(_slot(tok), 0) + 1
+    got0 = {r["slot"]: r["cnt"] for r in long if r["doc_id"] == 0}
+    assert got0 == expected0
+
+
+def test_hashed_features_bigrams(spark):
+    from graph_data_science_spark.operators.pipeline_ops import (
+        hashed_ngram_features)
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    # 2 distinct bigram shingles ("a b", "b c"), each once
+    rows = hashed_ngram_features(docs, dim=16, n=2).collect()
+    assert sum(r["cnt"] for r in rows) == 2
+
+
+def test_quality_classifier_separates_vocabularies(spark):
+    from graph_data_science_spark.operators.pipeline_ops import (
+        quality_classifier)
+
+    good = "history science culture article reference encyclopedia".split()
+    bad = "buy cheap click free winner casino".split()
+    rows = []
+    for i in range(40):
+        ws = [good[(i + j) % len(good)] for j in range(10)]
+        rows.append((i, " ".join(ws), 1))
+    for i in range(40, 80):
+        ws = [bad[(i + j) % len(bad)] for j in range(10)]
+        rows.append((i, " ".join(ws), 0))
+    docs = spark.createDataFrame([(r[0], r[1]) for r in rows],
+                                 ["doc_id", "text"])
+    labels = spark.createDataFrame([(r[0], r[2]) for r in rows],
+                                   "doc_id long, y int")
+    model, scored = quality_classifier(docs, labels, dim=32, iterations=30)
+    got = {r["doc_id"]: r["predicted"] for r in scored.collect()}
+    acc = sum(got[i] == (lbl == 1) for i, _, lbl in rows) / len(rows)
+    assert acc == 1.0
+    # determinism across partitionings
+    _, again = quality_classifier(
+        docs.repartition(7), labels.repartition(3), dim=32, iterations=30)
+    assert sorted(map(tuple, scored.collect())) == \
+        sorted(map(tuple, again.collect()))
