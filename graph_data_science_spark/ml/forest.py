@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from graph_data_science_spark.operators.embeddings import _u01
 from graph_data_science_spark.operators.graphsage import _py_u01
+from graph_data_science_spark.plans.loop_state import LoopState
 
 
 @dataclass
@@ -108,7 +109,8 @@ def random_forest_fit(
              .where(_u01(F.col("id"), F.col("tree"), F.lit("bag"),
                          F.lit(int(seed))) < float(subsample))
              .select("tree", F.lit(1).alias("node"), "bins", "y"))
-    state = state.localCheckpoint(eager=True)
+    loop = LoopState()
+    state = loop.truncate(state)
 
     open_nodes = {(t, 1) for t in range(n_trees)}
     for depth in range(max_depth + 1):
@@ -187,9 +189,10 @@ def random_forest_fit(
                               + (F.element_at("bins", F.col("_f") + 1)
                                  > F.col("_b")).cast("int")).alias("node"),
                              "bins", "y"))
-            state = state.localCheckpoint(eager=True)
+            state = loop.truncate(state)
         else:
             break
+    loop.release()  # model is driver-side; no level's blocks need to stay
     return model
 
 

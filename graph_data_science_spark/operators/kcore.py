@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.plans.loop_state import LoopState
 from graph_data_science_spark.plans.partitioning import shuffle_hash
 from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
 
@@ -32,7 +33,9 @@ def k_core(graph: Graph, k: int, max_iterations: int = 100) -> DataFrame:
     """Nodes of the k-core → ``(node_id, in_core: boolean)`` over all nodes."""
     spark = graph.nodes.sparkSession
     edges = _undirected_simple(graph).persist()
-    alive = edges.select(F.col("src").alias("node_id")).distinct()
+    loop = LoopState()
+    alive = loop.truncate(edges.select(F.col("src").alias("node_id")).distinct())
+    before = alive.count()
     for _ in range(max_iterations):
         cur = (
             edges.join(alive.withColumnRenamed("node_id", "src"), "src", "left_semi")
@@ -40,12 +43,15 @@ def k_core(graph: Graph, k: int, max_iterations: int = 100) -> DataFrame:
         )
         deg = cur.groupBy(F.col("src").alias("node_id")).agg(F.count(F.lit(1)).alias("_d"))
         nxt = deg.where(F.col("_d") >= int(k)).select("node_id")
-        nxt = nxt.localCheckpoint(eager=True)
-        before = alive.count()
-        after = nxt.count()
-        alive = nxt
+        # one action per round: the checkpoint retires the previous round's
+        # blocks, and the survivor count is carried forward instead of
+        # recounting the (now-released) old state
+        alive = loop.truncate(nxt)
+        after = alive.count()
         if after == before or after == 0:
             break
+        before = after
+    loop.detach(alive)
     edges.unpersist()
     return graph.nodes.select("node_id").join(
         alive.withColumn("in_core", F.lit(True)), "node_id", "left"

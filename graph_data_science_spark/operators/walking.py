@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.plans.loop_state import LoopState
 
 
 def collapse_path(graph: Graph, length: int = 2,
@@ -76,8 +77,10 @@ def sample_cnarw(graph: Graph, start_nodes: list[int], rounds: int = 10,
                                               F.coalesce("dv", F.lit(1))), F.lit(1)))
                         .alias("accept_p"))
                 ).persist()
-    sampled = spark.createDataFrame(
-        [(int(s),) for s in start_nodes], "node_id long").localCheckpoint(eager=True)
+    loop = LoopState()
+    sampled = loop.truncate(spark.createDataFrame(
+        [(int(s),) for s in start_nodes], "node_id long"))
+    size = sampled.count()
     for r in range(rounds):
         frontier = weighted.join(
             sampled.withColumnRenamed("node_id", "src"), "src", "left_semi"
@@ -85,13 +88,14 @@ def sample_cnarw(graph: Graph, start_nodes: list[int], rounds: int = 10,
             _u01(F.col("src"), F.col("dst"), F.lit(r), F.lit(int(seed)))
             < F.col("accept_p")
         ).select(F.col("dst").alias("node_id"))
-        new = sampled.unionByName(frontier).distinct().localCheckpoint(eager=True)
-        if new.count() == sampled.count():
+        sampled = loop.truncate(sampled.unionByName(frontier).distinct())
+        new_size = sampled.count()
+        if new_size == size:
             break
-        sampled = new
+        size = new_size
     edges.unpersist()
     weighted.unpersist()
-    return sampled
+    return loop.detach(sampled)
 
 
 def sample_rwr(graph: Graph, start_nodes: list[int], rounds: int = 10,
@@ -106,18 +110,20 @@ def sample_rwr(graph: Graph, start_nodes: list[int], rounds: int = 10,
     """
     spark = graph.nodes.sparkSession
     edges = graph.edges.select("src", "dst").persist()
-    sampled = spark.createDataFrame(
-        [(int(s),) for s in start_nodes], "node_id long"
-    ).localCheckpoint(eager=True)
+    loop = LoopState()
+    sampled = loop.truncate(spark.createDataFrame(
+        [(int(s),) for s in start_nodes], "node_id long"))
+    size = sampled.count()
     for r in range(rounds):
         frontier = edges.join(
             sampled.withColumnRenamed("node_id", "src"), "src", "left_semi"
         ).where(
             _u01(F.col("src"), F.col("dst"), F.lit(r), F.lit(int(seed))) < accept_prob
         ).select(F.col("dst").alias("node_id"))
-        new = sampled.unionByName(frontier).distinct().localCheckpoint(eager=True)
-        if new.count() == sampled.count():
+        sampled = loop.truncate(sampled.unionByName(frontier).distinct())
+        new_size = sampled.count()
+        if new_size == size:
             break
-        sampled = new
+        size = new_size
     edges.unpersist()
-    return sampled
+    return loop.detach(sampled)
