@@ -1406,8 +1406,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s.read.parquet(f"{d}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
         threshold=0.35)
+    from graph_data_science_spark.operators.dedup import (
+        embedding_lsh_buckets, embedding_lsh_pairs)
+    # exact-integer random-hyperplane LSH: the scale path for semantic
+    # near-dup candidate generation (banded; bucket join, never all-pairs).
+    # threshold 0.3 for the same tail-of-distribution reason as above;
+    # output = the verified colliding pairs (approximate by design — the
+    # banding-recall test vs the exact kernel is in tests/)
+    q["embedding_lsh_buckets"] = lambda s, d: embedding_lsh_buckets(
+        s.read.parquet(f"{d}/embeddings.parquet"), n_bits=16, bands=4)
+    q["embedding_lsh_pairs"] = lambda s, d: embedding_lsh_pairs(
+        s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.3,
+        n_bits=16, bands=4)
 
     # -- non-SQL-expressible (rows-only checks) ------------------------------
+    # BPE: the merge fold is sequential within a word, so no SQL oracle;
+    # golden-tested against a pure-Python reference BPE in
+    # tests/test_tokenizer.py (train + encode + greedy-overlap semantics)
+    from graph_data_science_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    def _bpe_token_count(s, d):
+        docs = _docs(s, d)
+        return bpe_encode(docs, bpe_train(docs, n_merges=12)).select(
+            "doc_id", "n_bpe_tokens")
+
+    q["bpe_token_count"] = _bpe_token_count
     # leiden: adds WCC-refinement between levels — the refinement's nested
     # fixpoint makes a fixed SQL unroll fragile (intra-community diameters
     # aren't structurally bounded); correctness is pytest property tests
@@ -1456,6 +1479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_duplicate_clusters"] = lambda s, d: near_duplicate_clusters(
         _docs(s, d), num_hashes=8, bands=4)
+    from graph_data_science_spark.operators.pipeline_ops import bigram_collocations
+    q["bigram_collocations"] = lambda s, d: bigram_collocations(
+        _docs(s, d), top_k=20, min_count=2)
     q["corpus_vocabulary"] = lambda s, d: corpus_vocabulary(_docs(s, d), min_df=2)
     q["tfidf_top_terms"] = lambda s, d: tf_idf_top_terms(_docs(s, d), k=3)
     q["decontaminate"] = lambda s, d: decontaminate(
@@ -1626,6 +1652,13 @@ _GATE_FIRST = [
     # gds.alpha.linkprediction.* / splitRelationships) + SLLPA (rows-only)
     "similarity_functions_vec", "similarity_functions_set",
     "link_prediction", "split_relationships", "sllpa",
+    # round-3 session-4 kernel changes: hits (parquet-scratch truncation),
+    # k_core (LoopState retire-previous + single-action rounds)
+    "hits", "k_core_3",
+    # round-3 session-4 additions: PMI-lift collocations and exact-integer
+    # banded LSH over embeddings (the pairs entry exercises the buckets
+    # kernel too; embedding_lsh_buckets itself is pytest-mirrored)
+    "bigram_collocations", "embedding_lsh_pairs",
 ]
 _GATE_LAST = [
     # displaced to make room for the round-3 batch-2 gates (pack_sequences /
@@ -1645,6 +1678,15 @@ _GATE_LAST = [
     # untouched (embeddings.py's round-3 change was node2vec — fastrp and
     # the walk entries stay gated)
     "k1coloring", "hashgnn",
+    # displaced for the session-4 gates (hits / k_core_3 /
+    # bigram_collocations / embedding_lsh_pairs): sssp_weighted and
+    # dag_levels ride paths.py, untouched in session 4 (their session-3
+    # paths.py changes are exercised by the gated sssp_delta /
+    # dag_topological_sort, which share the relaxation kernel); coreness's
+    # h-index kernel is untouched by session 4's k_core-only kcore.py edit
+    # (and the gated k_core_3 exercises the same file). All three remain
+    # pytest-oracled every run and were green in r02.
+    "sssp_weighted", "dag_levels", "coreness",
     # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
     # untouched this round (not just the entry — dag_levels/k_core/coreness
     # ride paths.py / plans/pregel.py, which round 3 changed, so they moved
@@ -2007,6 +2049,68 @@ r AS (SELECT vec_id, neighbor_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
       FROM p)
 SELECT vec_id, neighbor_id, cosine FROM r WHERE rn <= 3"""
+
+    # exact-integer LSH: quantized floor(x*1000) embeddings × hash-derived
+    # integer hyperplanes — the bigint dot product is order-independent, so
+    # the bucket ids are bit-identical across engines (no float near a sign)
+    _LSH_BUCKETS = """
+v AS (SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+bd AS (SELECT vec_id, q, unnest(range(0, 4)) AS band FROM v),
+bk AS (SELECT vec_id, CAST(band AS BIGINT) AS band,
+  CAST(list_sum(list_transform(range(0, 4), b ->
+    CASE WHEN list_sum(list_transform(range(1, len(q) + 1), d ->
+           q[d] * (((band * 4 + b) * 2654435761 + d * 40503) % 1000003
+                   - 500001))) > 0
+         THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM bd)"""
+
+    o["embedding_lsh_buckets"] = f"""
+WITH {_LSH_BUCKETS.strip()}
+SELECT vec_id, band, bucket FROM bk"""
+
+    o["embedding_lsh_pairs"] = f"""
+WITH {_LSH_BUCKETS.strip()},
+cand AS (SELECT DISTINCT l.vec_id AS doc_a, r.vec_id AS doc_b
+         FROM bk l JOIN bk r
+           ON l.band = r.band AND l.bucket = r.bucket
+          AND l.vec_id < r.vec_id),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT doc_a, doc_b,
+             ROUND(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM cand JOIN e a ON cand.doc_a = a.vec_id
+                JOIN e b ON cand.doc_b = b.vec_id)
+SELECT doc_a, doc_b, cosine FROM s WHERE cosine >= 0.3"""
+
+    o["bigram_collocations"] = f"""
+WITH w AS (SELECT string_split({_NORM}, ' ') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS t FROM w),
+u AS (SELECT t, COUNT(*) AS c FROM uni WHERE t <> '' GROUP BY t),
+bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+       FROM w, UNNEST(range(1, len(ws))) AS r(i)
+       WHERE len(ws) >= 2 AND ws[i] <> '' AND ws[i+1] <> ''),
+b AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY w1, w2),
+tot AS (SELECT (SELECT SUM(c) FROM u) AS t1,
+               (SELECT SUM(pair_count) FROM b) AS t2),
+s AS (SELECT b.w1, b.w2, b.pair_count,
+             ROUND((CAST(b.pair_count AS DOUBLE) / CAST(t.t2 AS DOUBLE))
+                   / ((CAST(ux.c AS DOUBLE) / CAST(t.t1 AS DOUBLE))
+                      * (CAST(uy.c AS DOUBLE) / CAST(t.t1 AS DOUBLE))), 6)
+                 AS lift
+      FROM b JOIN u ux ON b.w1 = ux.t JOIN u uy ON b.w2 = uy.t
+      CROSS JOIN tot t
+      WHERE b.pair_count >= 2),
+rk AS (SELECT w1, w2, pair_count, lift,
+              ROW_NUMBER() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC)
+                  AS "rank"
+       FROM s)
+SELECT w1, w2, pair_count, lift, CAST("rank" AS BIGINT) AS "rank"
+FROM rk WHERE "rank" <= 20"""
 
     o["embedding_near_duplicates"] = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -249,3 +249,117 @@ def embedding_near_duplicates(
 
     return tiles.mapInPandas(
         gemm, schema="doc_a long, doc_b long, cosine double")
+
+
+def embedding_lsh_buckets(
+    vecs: DataFrame,
+    n_bits: int = 16,
+    bands: int = 4,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH over an embedding column → ``(vec_id, band,
+    bucket)`` — the SCALE path for semantic near-dup / ANN candidate
+    generation (vs the exact tiled GEMM of ``embedding_near_duplicates``).
+
+    Sign-of-projection LSH (Charikar, STOC'02): bit j is the sign of the
+    dot product with pseudo-random hyperplane j; the ``n_bits`` signature is
+    split into ``bands`` independent band buckets (LSH banding — two vectors
+    are candidates when ANY band matches; with 4 bands × 4 bits a cosine-0.9
+    pair collides with p ≈ 0.95).
+
+    Everything is EXACT INTEGER arithmetic so the DuckDB oracle is
+    bit-identical at any summation order: embeddings are quantized
+    ``floor(x * quant)`` (float→double exact, floor has no rounding ties),
+    hyperplane components are hash-derived integers
+    ``(j*2654435761 + d*40503) % 1000003 - 500001``, and the projection is a
+    bigint dot product — no float summation anywhere near a sign decision.
+
+    Scale: one narrow projection (no shuffle) producing ``bands`` rows per
+    vector; candidate joins shuffle only (band, bucket, id). Reference
+    analog: similarity/knn/Knn.java approximate contract, re-expressed as
+    data-parallel hashing instead of graph descent.
+    """
+    if n_bits % bands != 0:
+        raise ValueError("n_bits must divide evenly into bands")
+    bpb = n_bits // bands
+    q = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> "
+               f"cast(floor(cast(x as double) * {int(quant)}) as bigint))"
+               ).alias("_q"),
+    )
+    banded = q.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("_q"),
+    )
+    bucket = F.expr(f"""
+      cast(aggregate(
+        sequence(0, {bpb - 1}),
+        cast(0 as bigint),
+        (acc, b) -> acc + if(
+          aggregate(
+            zip_with(_q, sequence(1, size(_q)), (qi, d) ->
+              qi * (((band * {bpb} + b) * 2654435761 + d * 40503) % 1000003
+                    - 500001)),
+            cast(0 as bigint), (a, v) -> a + v) > 0,
+          shiftleft(cast(1 as bigint), b), cast(0 as bigint))) as bigint)
+    """)
+    return banded.select("vec_id", F.col("band").cast("long").alias("band"),
+                         bucket.alias("bucket"))
+
+
+def embedding_lsh_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.85,
+    n_bits: int = 16,
+    bands: int = 4,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed semantic near-dup pairs → ``(doc_a, doc_b, cosine)``
+    with ``doc_a < doc_b`` and rounded cosine ≥ ``threshold``.
+
+    Candidates = pairs sharing any (band, bucket) from
+    :func:`embedding_lsh_buckets`; each candidate pair is then verified with
+    the exact cosine (same rounded-6dp contract as ``embedding_near_
+    duplicates``, whose output this approximates with banding-recall
+    guarantees — the recall test lives in tests/test_functions_similarity).
+
+    Scale: never all-pairs — the join shuffles (band, bucket) keys, the
+    verify step touches only colliding pairs, and a hot bucket is bounded by
+    the band width (add bits per band to split it). This is the path the
+    exact GEMM kernel can't walk at 10⁹ vectors.
+    """
+    b = embedding_lsh_buckets(vecs, n_bits, bands, quant, id_col, vec_col)
+    cand = (
+        b.alias("l")
+        .join(b.alias("r"),
+              (F.col("l.band") == F.col("r.band"))
+              & (F.col("l.bucket") == F.col("r.bucket"))
+              & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(F.col("l.vec_id").alias("doc_a"),
+                F.col("r.vec_id").alias("doc_b"))
+        .distinct()
+    )
+    e = vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+    dot = ("aggregate(zip_with(_ea, _eb, (x, y) -> "
+           "cast(x as double) * cast(y as double)), "
+           "cast(0.0 as double), (a, v) -> a + v)")
+    norm = (lambda col: f"sqrt(aggregate(zip_with({col}, {col}, (x, y) -> "
+            f"cast(x as double) * cast(y as double)), "
+            f"cast(0.0 as double), (a, v) -> a + v))")
+    return (
+        cand.join(e.withColumnRenamed("_id", "doc_a")
+                   .withColumnRenamed("_e", "_ea"), "doc_a")
+        .join(e.withColumnRenamed("_id", "doc_b")
+               .withColumnRenamed("_e", "_eb"), "doc_b")
+        .select("doc_a", "doc_b",
+                F.expr(f"round(({dot}) / ({norm('_ea')} * {norm('_eb')}), 6)")
+                .alias("cosine"))
+        .where(F.col("cosine") >= float(threshold))
+        .select("doc_a", "doc_b", "cosine")
+    )

@@ -606,6 +606,18 @@ ESTIMATOR_FOR_QUERY = {
     # SLLPA: LPA superstep shape with an array<long>[maxIterations] state
     # column riding the same shuffle
     "sllpa": "label_propagation",
+    # PMI-lift collocations: two occurrence-sized map-side-combinable aggs
+    # + a driver-merged distributed top-k — the corpus_vocabulary shape
+    "bigram_collocations": "corpus_vocabulary",
+    # random-hyperplane signatures: one linear projection scan, no shuffle
+    "embedding_lsh_buckets": "text_scan",
+    # banded bucket join over (band, bucket) keys + per-candidate verify —
+    # the minhash LSH band-join shuffle profile
+    "embedding_lsh_pairs": "minhash",
+    # BPE train: per-round pair counts are occurrence-sized partial aggs
+    # over the DISTINCT-WORD table (vocabulary-scale state) — the
+    # corpus_vocabulary shuffle shape, ×n_merges rounds; encode is a scan
+    "bpe_token_count": "corpus_vocabulary",
 }
 
 

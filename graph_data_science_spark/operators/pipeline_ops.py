@@ -430,3 +430,65 @@ def quality_classifier(
         "doc_id", F.round("probability", 6).alias("probability"),
         (F.col("probability") >= 0.5).alias("predicted"))
     return model, scored
+
+
+def bigram_collocations(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level collocation mining → ``(w1, w2, pair_count, lift, rank)``
+    — the top-``top_k`` adjacent word pairs by pointwise-mutual-information
+    lift, the standard phrase/tokenizer-merge signal (word2vec's phrase
+    pass, BPE merge scoring).
+
+    ``lift = P(w1 w2) / (P(w1) · P(w2))`` computed as
+    ``(c_xy / T2) / ((c_x / T1) · (c_y / T1))`` — exp(PMI). Log-free so the
+    arithmetic is pure IEEE division/multiplication on exact integer counts:
+    bit-identical in Spark and DuckDB (ROUND 6dp on output). Ties rank by
+    (lift desc, w1 asc, w2 asc) — fully deterministic.
+
+    Plan: two partial-aggregatable ``groupBy`` counts (unigrams, adjacent
+    bigrams via ``zip_with(slice, slice)`` — no self-join), two scalar
+    totals broadcast back, then a DISTRIBUTED top-k (``orderBy ·
+    limit`` → TakeOrderedAndProject: per-partition heaps merged at the
+    driver, never a single-partition global sort). Shuffle volume is
+    #distinct bigrams after the ``min_count`` cut, not corpus size.
+    """
+    base = docs.select(F.split(_norm(F.col(text_col)), " ").alias("ws"))
+    uni = base.select(F.explode("ws").alias("t")).where(F.col("t") != "")
+    u = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    bg = (
+        base.where(F.size("ws") >= 2)
+        .select(F.explode(F.expr(
+            "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+            " (a, b) -> struct(a AS w1, b AS w2))")).alias("p"))
+        .select("p.w1", "p.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    b = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    totals = (
+        u.agg(F.sum("c").alias("t1"))
+        .crossJoin(b.agg(F.sum("pair_count").alias("t2")))
+    )
+    scored = (
+        b.where(F.col("pair_count") >= int(min_count))
+        .join(u.select(F.col("t").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(u.select(F.col("t").alias("w2"), F.col("c").alias("cy")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "pair_count",
+            F.round(
+                (F.col("pair_count").cast("double") / F.col("t2").cast("double"))
+                / ((F.col("cx").cast("double") / F.col("t1").cast("double"))
+                   * (F.col("cy").cast("double") / F.col("t1").cast("double"))),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(int(top_k))
+    w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "w1", "w2", "pair_count", "lift", "rank")

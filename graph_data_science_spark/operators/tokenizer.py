@@ -1,0 +1,158 @@
+"""Distributed BPE tokenizer training + encoding.
+
+The classic byte-pair-encoding trainer (Sennrich et al. 2016), re-expressed
+Spark-first over the word-frequency table — the piece a 100 TB pretraining
+pipeline runs BEFORE token counting can mean anything. Complements
+``text.token_count_bpe_ish`` (the regex approximation) with the real
+merge-learning loop.
+
+Shape per merge round (the whole loop is ``n_merges`` rounds):
+- adjacent symbol pairs via ``zip_with(slice, slice)`` (no self-join),
+  weighted by word frequency — one partial-aggregatable ``groupBy`` whose
+  shuffle volume is #distinct pairs (vocabulary-scale, not corpus-scale);
+- argmax pair via a distributed top-1 (``orderBy · limit(1)`` →
+  TakeOrderedAndProject), ties broken (count desc, left asc, right asc) so
+  training is bit-deterministic at any parallelism;
+- the merge itself is a pure ``aggregate`` fold over each word's symbol
+  array — greedy left-to-right non-overlapping, the standard BPE pass —
+  inside whole-stage codegen; no Python touches a row.
+
+State (one row per DISTINCT word, not per occurrence) is truncated per
+round with ``LoopState`` (serialized checkpoint + retire-previous,
+plans/loop_state.py). At 100 TB the distinct-word table is ~10⁷ rows — tiny
+against the corpus — so each round is a shuffle over megabytes.
+
+Encoding applies the learned merge list as ``len(merges)`` chained folds in
+ONE projection (expression tree depth = #merges, no shuffle, no UDF) — a
+single codegen'd scan over the corpus.
+
+Not SQL-expressible (the fold is inherently sequential within a word), so
+the ``bpe_token_count`` entry is rows-only; correctness is golden-tested
+against a pure-Python reference BPE in tests/test_tokenizer.py.
+
+Reference analog: none in gds (graph engine) — this is part of the
+training-data-pipeline surface the build brief adds on top; the operator
+discipline (deterministic ties, partial aggs, loop truncation) mirrors
+operators/louvain.py's argmax-move kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from graph_data_science_spark.operators.dedup import _norm
+from graph_data_science_spark.plans.loop_state import LoopState
+
+#: end-of-word marker (keeps merges from crossing word boundaries when the
+#: learned vocab is applied to running text — the Sennrich convention)
+EOW = "</w>"
+
+
+def _merge_fold(syms: Column | str, left: str, right: str) -> Column:
+    """One BPE merge pass over a symbol array: replace every non-overlapping
+    adjacent (left, right) occurrence, greedy left-to-right — a single
+    ``aggregate`` fold with a (out, pending) struct accumulator."""
+    col = F.col(syms) if isinstance(syms, str) else syms
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    return F.aggregate(
+        col,
+        F.struct(
+            F.expr("cast(array() as array<string>)").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda acc, x: F.when(
+            acc.pend.isNull(), F.struct(acc.out.alias("out"), x.alias("pend"))
+        ).when(
+            (acc.pend == l_lit) & (x == r_lit),
+            F.struct(
+                F.concat(acc.out, F.array(F.concat(acc.pend, x))).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(F.concat(acc.out, F.array(acc.pend)).alias("out"),
+                     x.alias("pend"))
+        ),
+        lambda acc: F.when(acc.pend.isNull(), acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.pend))),
+    )
+
+
+def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq, syms) — distinct words with corpus frequencies, each
+    split into characters + the end-of-word marker."""
+    words = docs.select(
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("word")
+    ).where(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # split('', word) yields one element per character (no empties on 4.x)
+    return wf.select(
+        "word", "freq",
+        F.concat(
+            F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
+            F.array(F.lit(EOW)),
+        ).alias("syms"),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 20,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus → ordered merge list.
+
+    Stops early when no adjacent pair occurs at least twice (merging a
+    hapax pair learns nothing). Deterministic: tie-break is
+    (count desc, left asc, right asc).
+    """
+    loop = LoopState()
+    state = loop.truncate(_word_table(docs, text_col))
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs = state.where(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(F.expr(
+                "zip_with(slice(syms, 1, size(syms) - 1),"
+                " slice(syms, 2, size(syms) - 1),"
+                " (a, b) -> struct(a AS l, b AS r))")).alias("p"),
+        ).groupBy("p.l", "p.r").agg(F.sum("freq").alias("c"))
+        best = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best or int(best[0]["c"]) < 2:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((left, right))
+        state = loop.truncate(state.select(
+            "word", "freq", _merge_fold("syms", left, right).alias("syms")))
+    loop.release()
+    return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Tokenize with a learned merge list → ``(doc_id, n_bpe_tokens,
+    tokens)`` where ``tokens`` is the per-document BPE symbol sequence.
+
+    One projection: per word, chars + EOW, then every merge applied in
+    training order as chained folds; the document's token stream is the
+    word streams concatenated (``flatten`` preserves word order). No
+    shuffle, no UDF — the whole encode is a codegen'd scan.
+    """
+    words = F.filter(F.split(_norm(F.col(text_col)), " "),
+                     lambda w: w != "")
+    syms = F.transform(
+        words,
+        lambda w: F.concat(F.filter(F.split(w, ""), lambda c: c != ""),
+                           F.array(F.lit(EOW))),
+    )
+    def _apply(left: str, right: str):
+        # a 1-arg closure: pyspark binds lambda variables by parameter
+        # count, so default-arg capture would miscount as a 3-arg lambda
+        return lambda s: _merge_fold(s, left, right)
+
+    enc = syms
+    for left, right in merges:
+        enc = F.transform(enc, _apply(left, right))
+    toks = F.flatten(enc)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        toks.alias("tokens"),
+    )
