@@ -1500,6 +1500,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term_fast_or_slow": r"\b(fast|slow)\b",
         })
 
+    # round-3 session-5 additions: segment-level exact dedup (RefinedWeb
+    # "line dedup" over fixed 20-token windows) + BM25 retrieval (Lucene
+    # idf) — both fully oracled
+    from graph_data_science_spark.operators.dedup import segment_dedup
+    from graph_data_science_spark.operators.pipeline_ops import bm25_topk
+
+    q["segment_dedup"] = lambda s, d: segment_dedup(_docs(s, d), window=20)
+    q["bm25_topk"] = lambda s, d: bm25_topk(
+        _docs(s, d), query_terms=["spark", "window", "merge"], top_k=10)
+
     from graph_data_science_spark.operators.pipeline_ops import (
         hashed_ngram_features, quality_classifier)
 
@@ -1659,6 +1669,10 @@ _GATE_FIRST = [
     # banded LSH over embeddings (the pairs entry exercises the buckets
     # kernel too; embedding_lsh_buckets itself is pytest-mirrored)
     "bigram_collocations", "embedding_lsh_pairs",
+    # round-3 session-5 additions: segment-level exact dedup (new kernel in
+    # dedup.py) and BM25 retrieval (new kernel in pipeline_ops.py) — both
+    # fully oracled, gate them on first exposure
+    "segment_dedup", "bm25_topk",
 ]
 _GATE_LAST = [
     # displaced to make room for the round-3 batch-2 gates (pack_sequences /
@@ -1707,7 +1721,7 @@ _GATE_LAST = [
     "scale_minmax", "events_sessionize", "events_windowed_counts",
     "token_count", "token_count_bpe", "quality_score", "language_id",
     "fingerprint", "exact_duplicates",
-    "hits", "modularity_nation", "conductance_nation", "collapse_path_2",
+    "modularity_nation", "conductance_nation", "collapse_path_2",
     "triangle_global", "local_clustering_coefficient", "degree_out",
     # rows-only (non-oracled) entries displaced by the round-3 additions:
     # each is pytest-covered at sf0.001 AND was manually run at sf0.01 this
@@ -1717,6 +1731,13 @@ _GATE_LAST = [
     # r02-gated green; only round-3 change to degree.py is an error-path
     # reorder (review batch 2), hot path untouched
     "degree_in_weighted",
+    # displaced for the session-5 gates (segment_dedup / bm25_topk): bfs was
+    # r02-gated green and paths.py is untouched since session 3, whose
+    # relaxation-kernel changes are exercised by the gated sssp_delta /
+    # dag_topological_sort; embedding_lsh_buckets' kernel runs inside the
+    # gated embedding_lsh_pairs (pairs = buckets + verify join). Both remain
+    # pytest-oracled every run.
+    "bfs", "embedding_lsh_buckets",
 ]
 
 
@@ -2152,6 +2173,62 @@ c0 AS MATERIALIZED (SELECT doc_id AS node_id, doc_id AS component FROM documents
         "\n".join(ndc_parts).rstrip(",") + "\n"
         f"SELECT node_id AS doc_id, component AS cluster_id, "
         f"node_id <> component AS is_duplicate FROM c{ndc_rounds}")
+
+    # segment_dedup: 0-based segment i = tokens i*20+1 .. (i+1)*20 (DuckDB
+    # lists are 1-indexed, slices clamp like Spark's slice); the keeper of a
+    # segment group is min (doc_id, seg_idx) — ROW_NUMBER here ≡ Spark's
+    # groupBy-min-struct. No floats anywhere.
+    o["segment_dedup"] = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+seg AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               array_to_string(ws[(i*20+1):((i+1)*20)], ' ') AS seg
+        FROM w, UNNEST(range(0, GREATEST(CAST(ceil(len(ws)/20.0) AS BIGINT), 1)))
+             AS r(i)),
+fk AS (SELECT doc_id, seg_idx, seg,
+              ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+                  AS rn
+       FROM seg),
+ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS segs_kept,
+              string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+       FROM fk WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS segs_total
+        FROM seg GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(ka.kept_text, '') AS kept_text, t.segs_total,
+       COALESCE(ka.segs_kept, 0) AS segs_kept
+FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id"""
+
+    # bm25_topk: Lucene idf, k1=1.2 b=0.75, query = {{merge, spark, window}}.
+    # Literal arithmetic shapes mirror the Spark expression exactly
+    # (1.2 + 1.0 == 2.2 and 1.0 - 0.75 are exact in IEEE, so both engines
+    # fold to the same doubles); per-term ROUND 9dp, total ROUND 6dp.
+    o["bm25_topk"] = f"""
+WITH tk AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t
+            FROM documents),
+t2 AS (SELECT doc_id, t FROM tk WHERE t <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t2 GROUP BY doc_id),
+c AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+                 / (SELECT COUNT(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM t2
+       WHERE t IN ('merge', 'spark', 'window') GROUP BY doc_id, t),
+dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+idf AS (SELECT dft.t,
+               ln(1.0 + (c.n - dft.df + 0.5) / (dft.df + 0.5)) AS idf,
+               c.avgdl
+        FROM dft, c),
+pt AS (SELECT tf.doc_id,
+              ROUND(idf.idf * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl)),
+                    9) AS s
+       FROM tf JOIN idf ON tf.t = idf.t JOIN dl ON tf.doc_id = dl.doc_id),
+sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
+              ROUND(SUM(s), 6) AS score
+       FROM pt GROUP BY doc_id),
+rk AS (SELECT doc_id, matched_terms, score,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS "rank"
+       FROM sc)
+SELECT doc_id, matched_terms, score, CAST("rank" AS BIGINT) AS "rank"
+FROM rk WHERE "rank" <= 10"""
 
     o["corpus_vocabulary"] = f"""
 WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),

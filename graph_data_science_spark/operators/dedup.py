@@ -363,3 +363,63 @@ def embedding_lsh_pairs(
         .where(F.col("cosine") >= float(threshold))
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def segment_dedup(docs: DataFrame, window: int = 20, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Segment-level exact dedup → ``(doc_id, kept_text, segs_total,
+    segs_kept)`` — the RefinedWeb/CCNet "line dedup" pass generalized to a
+    corpus without line structure: the normalized token stream is chunked
+    into consecutive ``window``-token segments and every segment whose
+    content already occurred EARLIER in the corpus (ordered by
+    ``(doc_id, seg_idx)``) is dropped; each document's surviving segments
+    are reassembled in order. Repeats of a segment *within* one document
+    dedup too (only the first instance survives) — exact-segment semantics.
+
+    Deterministic: the keeper of each segment group is ``min (doc_id,
+    seg_idx)``; reassembly sorts by ``seg_idx``. No floats anywhere.
+
+    Scale plan: segments are hashed with md5, so the first-occurrence
+    aggregation is a partial-aggregatable ``groupBy(hash).min(struct(id,
+    idx))`` whose shuffle volume is (hash, ids) — never segment text; the
+    keeper join then shuffles segments once by hash; reassembly is one more
+    ``groupBy(doc_id)`` with ``array_sort ∘ collect_list`` (bounded by
+    tokens/``window`` segments per doc). Compare: exact_duplicates (whole-
+    document granularity) and minhash_lsh_pairs (near-dup granularity).
+    """
+    w = int(window)
+    ws = F.split(_norm(F.col(text_col)), " ")
+    n_segs = F.ceil(F.size(ws) / F.lit(float(w))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * w + 1, w)),
+    )
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(seg_arr).alias("seg_idx", "seg"),
+    ).withColumn("_h", F.md5(F.col("seg")))
+
+    first = segs.groupBy("_h").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("seg_idx"))).alias("_f"))
+    kept = (
+        segs.join(first, "_h")
+        .where((F.col("doc_id") == F.col("_f.doc_id"))
+               & (F.col("seg_idx") == F.col("_f.seg_idx")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("segs_kept"),
+            F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"])).alias("kept_text"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("segs_total"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.col("segs_total").cast("long").alias("segs_total"),
+            F.coalesce("segs_kept", F.lit(0)).cast("long").alias("segs_kept"),
+        )
+    )

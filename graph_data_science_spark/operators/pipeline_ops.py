@@ -492,3 +492,77 @@ def bigram_collocations(
     w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "w1", "w2", "pair_count", "lift", "rank")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval → ``(doc_id, matched_terms, score, rank)`` — the
+    top-``top_k`` documents for a bag-of-words query under Okapi BM25 with
+    the Lucene idf (``ln(1 + (N − df + 0.5)/(df + 0.5))``). The standard
+    lexical ranker for training-data selection and contamination triage
+    (rank the corpus against a benchmark query, inspect/drop the head).
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    ``N`` = corpus size, ``dl`` = document token count, ``avgdl`` = Σdl/N.
+    Documents matching no query term are excluded (standard). Per-term
+    scores are rounded to 9dp and the final score to 6dp (the repo float
+    contract); ties rank by ``doc_id`` asc — fully deterministic.
+
+    Scale plan: the token stream is filtered to the query vocabulary
+    IMMEDIATELY after the explode (a broadcast ``isin`` on a literal list),
+    so tf/df aggregations shuffle only query-term hits; ``dl`` is one
+    partial-aggregatable ``groupBy(doc_id)`` over the full stream; the
+    corpus constants (N, avgdl) ride one broadcast crossJoin; the final
+    top-k is ``orderBy · limit`` → TakeOrderedAndProject (per-partition
+    heaps, no single-partition sort).
+    """
+    terms = sorted({t for t in query_terms if t})
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("t"),
+    ).where(F.col("t") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    consts = (
+        docs.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(dl.agg(F.sum("dl").alias("_tt")))
+        .select("n", (F.col("_tt").cast("double") / F.col("n")).alias("avgdl"))
+    )
+    hits = toks.where(F.col("t").isin(terms))
+    tf = hits.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(consts)).select(
+        "t",
+        F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        .alias("idf"),
+        "avgdl",
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf") * (F.col("tf") * (float(k1) + 1.0))
+                / (F.col("tf") + float(k1)
+                   * (1.0 - float(b)
+                      + float(b) * F.col("dl") / F.col("avgdl"))),
+                9,
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        F.round(F.sum("s"), 6).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(top_k))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "matched_terms", "score", "rank")

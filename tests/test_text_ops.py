@@ -163,3 +163,82 @@ def test_repetition_stats_flags_repetitive_doc(spark):
     got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
     assert got[1]["dup_5gram_frac"] > 0.9 and got[1]["top_bigram_frac"] > 0.9
     assert got[2]["dup_5gram_frac"] == 0.0 and got[2]["distinct_word_frac"] == 1.0
+
+
+# -- segment-level exact dedup (round-3 session-5) ---------------------------
+
+def test_segment_dedup_drops_repeated_segments(spark):
+    from graph_data_science_spark.operators.dedup import segment_dedup
+
+    # window=3: doc 0 = [a b c][d e f]; doc 1 repeats segment "a b c" then
+    # has a fresh one; doc 2 repeats its own first segment internally
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c x y z"),
+        (2, "p q r p q r"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in segment_dedup(docs, window=3).collect()}
+
+    assert out[0]["kept_text"] == "a b c d e f"
+    assert (out[0]["segs_total"], out[0]["segs_kept"]) == (2, 2)
+    # doc 1's first segment already occurred in doc 0
+    assert out[1]["kept_text"] == "x y z"
+    assert (out[1]["segs_total"], out[1]["segs_kept"]) == (2, 1)
+    # within-doc repeat: only the first instance survives
+    assert out[2]["kept_text"] == "p q r"
+    assert (out[2]["segs_total"], out[2]["segs_kept"]) == (2, 1)
+
+
+def test_segment_dedup_short_doc_and_order(spark):
+    from graph_data_science_spark.operators.dedup import segment_dedup
+
+    rows = [
+        (10, "one two"),                    # shorter than the window
+        (11, "one two"),                    # exact duplicate doc
+        (12, "seg1 seg1 seg1 tail bit"),    # partial tail segment kept in order
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in segment_dedup(docs, window=3).collect()}
+    assert out[10]["kept_text"] == "one two"
+    assert (out[11]["kept_text"], out[11]["segs_kept"]) == ("", 0)
+    # reassembly preserves segment order (idx 0 then the 2-token tail)
+    assert out[12]["kept_text"] == "seg1 seg1 seg1 tail bit"
+
+
+# -- BM25 retrieval (round-3 session-5) --------------------------------------
+
+def test_bm25_ranks_matching_docs(spark):
+    from graph_data_science_spark.operators.pipeline_ops import bm25_topk
+
+    rows = [
+        (0, "spark spark spark join"),          # high tf for 'spark'
+        (1, "spark filler filler filler filler filler filler filler"),  # long, 1 hit
+        (2, "window merge"),                    # matches two query terms
+        (3, "nothing relevant here at all"),    # no match -> excluded
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = bm25_topk(docs, ["spark", "window", "merge"], top_k=10).collect()
+    by_id = {r["doc_id"]: r for r in res}
+
+    assert 3 not in by_id                       # non-matching doc excluded
+    assert by_id[2]["matched_terms"] == 2
+    assert by_id[0]["matched_terms"] == 1
+    # rarer terms (window/merge: df=1) in a short doc outrank the common term
+    assert by_id[2]["rank"] == 1
+    # higher tf and shorter length beat a single hit in a long doc
+    assert by_id[0]["score"] > by_id[1]["score"]
+    # ranks are 1..n dense in score order
+    ranks = sorted(r["rank"] for r in res)
+    assert ranks == list(range(1, len(res) + 1))
+
+
+def test_bm25_topk_truncates_and_breaks_ties_by_id(spark):
+    from graph_data_science_spark.operators.pipeline_ops import bm25_topk
+
+    # four identical docs -> identical scores; tie-break by doc_id asc
+    rows = [(i, "alpha beta") for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = bm25_topk(docs, ["alpha"], top_k=2).orderBy("rank").collect()
+    assert [r["doc_id"] for r in res] == [0, 1]
+    assert [r["rank"] for r in res] == [1, 2]
