@@ -618,6 +618,13 @@ ESTIMATOR_FOR_QUERY = {
     # over the DISTINCT-WORD table (vocabulary-scale state) — the
     # corpus_vocabulary shuffle shape, ×n_merges rounds; encode is a scan
     "bpe_token_count": "corpus_vocabulary",
+    # segment-level exact dedup: segment-hash first-occurrence agg +
+    # keeper join + per-doc reassembly — occurrence-sized partial aggs,
+    # shuffle keys are (hash, ids) not text: the corpus_vocabulary shape
+    "segment_dedup": "corpus_vocabulary",
+    # BM25 top-k: postings agg (term, doc tf) + per-query accumulate +
+    # distributed top-k — two occurrence-sized map-side-combinable aggs
+    "bm25_topk": "corpus_vocabulary",
 }
 
 
