@@ -67,12 +67,35 @@ from graph_data_science_spark.plans.partitioning import shuffle_hash
 # above it static ReuseExchange dedup wins (docs/SCALE_NOTES.md §11)
 _AQE_OFF_MIN_M = float(os.environ.get("SPARK_GRAFT_AQE_OFF_MIN_M", "2000000"))
 
+# stream row count below which _Scratch auto mode truncates in memory
+# instead of via parquet round-trip — the same 1M-row gate (and the same
+# reasoning) as plans/pregel._AQE_OFF_MIN_ROWS: small states are job-floor
+# bound, large states rescan faster from columnar parquet
+_MEM_TRUNC_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_AQE_OFF_MIN_ROWS", "1000000"))
+
 
 class _Scratch:
-    """Parquet-round-trip plan truncation (plans/pregel.py module doc #1:
-    chained ``localCheckpoint`` accumulates planning cost on this Spark
-    version — measured 10× on a 2-level Louvain). Two alternating slots per
-    named stream bound disk to the last two states of each.
+    """Per-stream loop-state truncation: parquet round-trip OR retired
+    in-memory checkpoints, SIZE-gated per truncate.
+
+    Parquet mode (the 100 TB path): two alternating slots per named stream
+    bound disk to the last two states; rescans are vectorized columnar
+    batch reads (measured 2× faster than serialized-checkpoint rescans at
+    the 8M-row north-rule scale — plans/pregel.py truncation notes).
+
+    Memory mode (below the gate): eager SERIALIZED ``localCheckpoint``
+    with the GRANDPARENT checkpoint retired per truncate — the same
+    two-states-per-stream validity window as the parquet slots (a
+    stream's previous state stays readable until the stream truncates
+    twice more), so the two modes are drop-in interchangeable. At small
+    state sizes this removes the ~0.3 s/truncate write+read floor that
+    dominates fixed sub-round schedules (measured at sf0.1: pagerank ~2×).
+
+    ``mode="auto"`` (default) picks per call: the first truncate of a
+    stream is parquet (row count unknown — the scale-safe side), then the
+    stream's own observed row count (the count rides the materializing job
+    via ``Observation`` — no extra action) gates subsequent calls at
+    ``_MEM_TRUNC_MAX_ROWS``. ``SPARK_GRAFT_TRUNCATION`` pins a mode.
 
     ``aqe_off`` is SIZE-gated by the caller, not hardwired: disabling AQE
     protects static ReuseExchange dedup inside fused sub-round chains
@@ -84,29 +107,75 @@ class _Scratch:
     floor, not work), while the §11 depth-2 chain at 14M edges runs ~1.5×
     better with AQE off."""
 
-    def __init__(self, spark, aqe_off: bool = False):
+    def __init__(self, spark, aqe_off: bool = False, mode: str | None = None):
         import tempfile
         self.spark = spark
         self.dir = tempfile.mkdtemp(prefix="gds_louvain_")
         self._n: dict[str, int] = {}
         self.aqe_off = aqe_off
+        if mode is None:
+            mode = os.environ.get("SPARK_GRAFT_TRUNCATION", "auto")
+        if mode not in ("memory", "parquet", "auto"):
+            raise ValueError(f"unknown truncation {mode!r}")
+        self.mode = mode
+        self._rows: dict[str, int] = {}   # stream -> last observed row count
+        self._hist: dict[str, list] = {}  # stream -> live checkpoint RDDs
 
     def truncate(self, df: DataFrame, stream: str) -> DataFrame:
         import os
-        c = self._n.get(stream, 0)
-        path = os.path.join(self.dir, f"{stream}-{c % 2}")
-        if self.aqe_off:
-            from graph_data_science_spark.plans.pregel import no_aqe
-            with no_aqe(self.spark):
-                df.write.mode("overwrite").parquet(path)
+        from pyspark.sql import Observation
+        use_mem = self.mode == "memory" or (
+            self.mode == "auto"
+            and self._rows.get(stream, _MEM_TRUNC_MAX_ROWS) < _MEM_TRUNC_MAX_ROWS)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        rdd = None
+        if use_mem:
+            from pyspark.storagelevel import StorageLevel
+            new = df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+            try:
+                rdd = new._jdf.queryExecution().analyzed().rdd()
+            except Exception:  # pragma: no cover - plan shape changed
+                pass
         else:
-            df.write.mode("overwrite").parquet(path)
-        self._n[stream] = c + 1
-        return self.spark.read.parquet(path)
+            c = self._n.get(stream, 0)
+            path = os.path.join(self.dir, f"{stream}-{c % 2}")
+            if self.aqe_off:
+                from graph_data_science_spark.plans.pregel import no_aqe
+                with no_aqe(self.spark):
+                    df.write.mode("overwrite").parquet(path)
+            else:
+                df.write.mode("overwrite").parquet(path)
+            self._n[stream] = c + 1
+            new = self.spark.read.parquet(path)
+        self._rows[stream] = int(obs.get["rows"] or 0)
+        hist = self._hist.setdefault(stream, [])
+        hist.append(rdd)
+        if len(hist) > 2:
+            old = hist.pop(0)
+            if old is not None:
+                try:
+                    old.unpersist(False)
+                except Exception:  # pragma: no cover
+                    pass
+        return new
 
     def cleanup(self) -> None:
+        """Reclaim scratch: parquet slots AND any live memory checkpoints.
+        Same caller contract as the parquet-only version — a result that
+        must outlive the scratch is detached with its own terminal
+        ``localCheckpoint(eager=True)`` before cleanup."""
         import shutil
         shutil.rmtree(self.dir, ignore_errors=True)
+        for hist in self._hist.values():
+            for rdd in hist:
+                if rdd is not None:
+                    try:
+                        rdd.unpersist(False)
+                    except Exception:  # pragma: no cover
+                        pass
+        self._hist.clear()
 
 
 @dataclass

@@ -188,7 +188,7 @@ class Pregel:
         #: resume validates it so a dir from a different algorithm/config is
         #: rejected instead of silently resuming incompatible state
         self.manifest = manifest or {}
-        # "parquet" (default): scratch-dir round-trip — the columnar,
+        # "parquet": scratch-dir round-trip — the columnar,
         # vectorized-rescan truncation. MEASURED at the north-rule scale
         # (57M edges, local[2], 6-superstep pagerank): parquet 342 s;
         # localCheckpoint with the deserialized default storage >2× slower
@@ -196,12 +196,19 @@ class Pregel:
         # storage 711 s — still 2× slower, because a row-wise checkpoint
         # cache deserializes per row on rescan while the parquet scan is a
         # vectorized columnar batch read inside whole-stage codegen.
-        # "memory" is kept opt-in for small interactive graphs where the
-        # ~0.3 s/superstep write floor dominates (SPARK_GRAFT_TRUNCATION
-        # overrides).
+        # "memory": eager localCheckpoint + retire-previous — zero disk
+        # I/O, wins BELOW the size gate where the ~0.3 s/superstep write
+        # floor dominates (measured at sf0.1: pagerank ~2× faster).
+        # "auto" (default): the initial truncate is parquet (so step 0 is
+        # byte-identical to the big-scale path either way), then the loop
+        # picks memory below _AQE_OFF_MIN_ROWS state rows and parquet at or
+        # above it — the same gate that drives AQE/fusion, for the same
+        # reason: small state is floor-bound, large state is scan-bound.
+        # SPARK_GRAFT_TRUNCATION pins an explicit mode (the scale/probe
+        # scripts and the A/B harness set it deliberately).
         if truncation is None:
-            truncation = os.environ.get("SPARK_GRAFT_TRUNCATION", "parquet")
-        if truncation not in ("memory", "parquet"):
+            truncation = os.environ.get("SPARK_GRAFT_TRUNCATION", "auto")
+        if truncation not in ("memory", "parquet", "auto"):
             raise ValueError(f"unknown truncation {truncation!r}")
         self.truncation = truncation
         self._tmp_dir: str | None = None
@@ -394,23 +401,32 @@ class Pregel:
             if resumed is not None:
                 state, start_step = resumed
                 self._prune_above(start_step - 1)
-        # truncate the incoming plan too — step 0 should start from a flat scan
+        # truncate the incoming plan too — step 0 should start from a flat
+        # scan. "auto" starts on scratch (byte-identical to the big-scale
+        # path) and picks the loop mode once rows0 is known below.
+        state_on_scratch = False
         if self.truncation == "memory":
             state, rdd0 = self._mem_truncate(state)
             self._retire_prev(rdd0)
         else:
             state = self._scratch_truncate(state, -1)
+            state_on_scratch = True
         first = state.agg(
             F.sum(F.col(ACTIVE_COL).cast("long")).alias("a"),
             F.count(F.lit(1)).alias("r")).first()
         active = first["a"] or 0
-        # size gate for _aqe_ctx AND fusion (state rows ride the agg we
-        # already run): below the threshold both stay off as a package —
-        # see the __init__ fuse comment
+        # size gate for _aqe_ctx, fusion AND auto-truncation (state rows
+        # ride the agg we already run): below the threshold AQE stays on,
+        # fusion stays off, and truncation goes in-memory — as a package —
+        # see the __init__ fuse/truncation comments
         rows0 = int(first["r"] or 0)
         self._aqe_off = rows0 >= _AQE_OFF_MIN_ROWS
         fuse_eff = self.fuse if (self._fuse_explicit
                                  or rows0 >= _AQE_OFF_MIN_ROWS) else 1
+        if self.truncation == "auto":
+            trunc_eff = "parquet" if rows0 >= _AQE_OFF_MIN_ROWS else "memory"
+        else:
+            trunc_eff = self.truncation
         converged = active == 0
 
         from pyspark.sql import Observation
@@ -441,20 +457,23 @@ class Pregel:
             new_state = new_state.observe(obs, *aggs)
             do_snapshot = self.checkpoint_dir and (block_end + 1) % self.snapshot_interval == 0
             new_rdd = None
-            if self.truncation == "memory":
+            if trunc_eff == "memory":
                 # critical path: in-memory materialization only; any snapshot
                 # write overlaps the NEXT superstep (module doc #2)
                 new_state, new_rdd = self._mem_truncate(new_state)
+                state_on_scratch = False
             elif do_snapshot:
                 # sync parquet snapshot (truncation="parquet" legacy path)
                 with self._aqe_ctx():
                     new_state.write.mode("overwrite").parquet(self._state_path(block_end))
                 new_state = self.spark.read.parquet(self._state_path(block_end))
+                state_on_scratch = True
             else:
                 new_state = self._scratch_truncate(new_state, block_end)
+                state_on_scratch = True
             row = dict(obs.get)
             wall_ms = (time.monotonic() - t0) * 1000.0
-            if self.truncation == "memory":
+            if trunc_eff == "memory":
                 # the in-flight writer (if any) reads the PREVIOUS state —
                 # wait for it before unpersisting that state
                 self._join_writer()
@@ -496,8 +515,11 @@ class Pregel:
         if self._tmp_dir is not None:
             # detach the returned state from the scratch dir (one terminal
             # localCheckpoint is fine — the pathology is CHAINED never-
-            # unpersisted ones), then reclaim the per-superstep snapshots
-            state = state.localCheckpoint(eager=True)
+            # unpersisted ones), then reclaim the per-superstep snapshots.
+            # A memory-truncated final state is already detached — the
+            # scratch dir only backs auto mode's step-0 truncate then.
+            if state_on_scratch:
+                state = state.localCheckpoint(eager=True)
             self._cleanup_scratch()
         return PregelResult(
             state=state,
