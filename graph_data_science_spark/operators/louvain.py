@@ -132,12 +132,19 @@ class _Scratch:
         rdd = None
         if use_mem:
             from pyspark.storagelevel import StorageLevel
+
+            from graph_data_science_spark.plans.loop_state import (
+                strip_origin_stats)
             new = df.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
             try:
                 rdd = new._jdf.queryExecution().analyzed().rdd()
             except Exception:  # pragma: no cover - plan shape changed
                 pass
+            # drop carried-forward origin stats — chained checkpoints
+            # compound join-size estimates exponentially (nested Borůvka/
+            # min-label loops overflow BigInteger; loop_state.py docstring)
+            new = strip_origin_stats(new)
         else:
             c = self._n.get(stream, 0)
             path = os.path.join(self.dir, f"{stream}-{c % 2}")

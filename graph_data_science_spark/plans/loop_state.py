@@ -29,6 +29,38 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 
+def strip_origin_stats(df: DataFrame) -> DataFrame:
+    """Re-wrap a checkpointed DataFrame's RDD WITHOUT the origin plan's
+    statistics.
+
+    Since SPARK-34899 a (local)checkpoint's ``LogicalRDD`` carries the
+    ORIGIN plan's computed statistics forward. In an iterative loop the
+    next iteration's join-size estimate is then a product over the previous
+    iteration's (already estimated) sizes, so the carried ``sizeInBytes``
+    compounds EXPONENTIALLY across supersteps — measured: 7,901 decimal
+    digits after 10 chained 1-join supersteps; a nested loop (Borůvka's
+    outer rounds × inner min-label rounds, operators/spanning.py) overflows
+    BigInteger's 2^31-bit cap (``ArithmeticException: BigInteger would
+    overflow supported range``) and, well before that, Catalyst spends its
+    planning time on multi-million-bit BigInt arithmetic. The parquet
+    scratch path never sees this (a fresh scan gets honest file-size
+    stats); in-memory truncation must therefore drop the origin stats —
+    the rebuilt ``LogicalRDD`` falls back to ``defaultSizeInBytes``, which
+    is what a pre-3.2 checkpoint reported. The rebuilt plan SCANS the same
+    persisted checkpoint blocks (``toRdd`` of a checkpoint scan), so
+    storage/unpersist bookkeeping against the original checkpoint RDD is
+    unaffected."""
+    spark = df.sparkSession
+    try:
+        jrdd = df._jdf.queryExecution().toRdd()
+        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+            df.schema.json())
+        jds = spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False)
+        return DataFrame(jds, spark)
+    except Exception:  # pragma: no cover - private-API shape changed
+        return df
+
+
 class LoopState:
     """Eager serialized localCheckpoint + retire-previous for loop state.
 
@@ -50,6 +82,7 @@ class LoopState:
             rdd = new_df._jdf.queryExecution().analyzed().rdd()
         except Exception:  # pragma: no cover - plan shape changed
             pass
+        new_df = strip_origin_stats(new_df)
         if self._prev_rdd is not None:
             try:
                 self._prev_rdd.unpersist(False)

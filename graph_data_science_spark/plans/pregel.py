@@ -267,8 +267,16 @@ class Pregel:
         generation every superstep (measured: the deserialized default
         more than doubled the local[2] 57M-edge suite vs the round-2
         parquet scratch); serialized blocks are compact Tungsten bytes the
-        GC scans in O(#blocks), not O(#rows)."""
+        GC scans in O(#blocks), not O(#rows).
+
+        The checkpoint's carried-forward origin statistics are STRIPPED
+        (plans/loop_state.py:strip_origin_stats): chained checkpoints
+        compound join-size estimates exponentially across supersteps,
+        overflowing BigInteger in nested loops and slowing planning long
+        before that."""
         from pyspark.storagelevel import StorageLevel
+
+        from graph_data_science_spark.plans.loop_state import strip_origin_stats
         with self._aqe_ctx():
             new_df = df.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
@@ -277,7 +285,7 @@ class Pregel:
             rdd = analyzed.rdd()  # LogicalRDD's underlying checkpointed RDD
         except Exception:  # pragma: no cover - plan shape changed
             rdd = None
-        return new_df, rdd
+        return strip_origin_stats(new_df), rdd
 
     def _retire_prev(self, new_rdd) -> None:
         """Unpersist the previous superstep's checkpoint RDD and remember the
