@@ -1510,6 +1510,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk"] = lambda s, d: bm25_topk(
         _docs(s, d), query_terms=["spark", "window", "merge"], top_k=10)
 
+    # round-3 session-5 additions: PII redaction (the action half of
+    # regex_scan), deterministic shuffle-shards training-order writer, and
+    # two-level-prefix-sum token-budget sampling — all fully oracled
+    from graph_data_science_spark.operators.pipeline_ops import (
+        regex_redact, shuffle_shards, token_budget_sample)
+
+    q["regex_redact"] = lambda s, d: regex_redact(_docs(s, d))
+    q["shuffle_shards"] = lambda s, d: shuffle_shards(_docs(s, d), n_shards=8)
+    q["token_budget_sample"] = lambda s, d: token_budget_sample(
+        _docs(s, d), budget_tokens=5000, n_buckets=16)
+
     from graph_data_science_spark.operators.pipeline_ops import (
         hashed_ngram_features, quality_classifier)
 
@@ -1673,6 +1684,10 @@ _GATE_FIRST = [
     # dedup.py) and BM25 retrieval (new kernel in pipeline_ops.py) — both
     # fully oracled, gate them on first exposure
     "segment_dedup", "bm25_topk",
+    # round-3 session-6 additions: PII redaction, shuffle-shards training
+    # order, token-budget sampling (two-level prefix sum) — gate on first
+    # exposure
+    "regex_redact", "shuffle_shards", "token_budget_sample",
 ]
 _GATE_LAST = [
     # displaced to make room for the round-3 batch-2 gates (pack_sequences /
@@ -1738,6 +1753,23 @@ _GATE_LAST = [
     # gated embedding_lsh_pairs (pairs = buckets + verify join). Both remain
     # pytest-oracled every run.
     "bfs", "embedding_lsh_buckets",
+    # displaced for the session-6 gates (regex_redact / shuffle_shards /
+    # token_budget_sample): session 6's engine change (strip_origin_stats
+    # on in-memory truncation) has a gated representative for each of its
+    # three mechanisms — Pregel memory mode (pagerank/wcc/label_propagation/
+    # scc all gated), LoopState (k_core_3 gated), louvain _Scratch memory
+    # mode (louvain gated). random_walks rides walking.py's LoopState
+    # (k_core_3 covers it), graphsage's unrolled gather has no loop
+    # truncation, bpe_token_count's merges are driver-side folds. All three
+    # remain pytest-oracled every run and were gate-green when last changed.
+    "random_walks", "graphsage", "bpe_token_count",
+    # same displacement rationale: scc's own kernel is untouched since its
+    # r02 gate-green and its Pregel-memory-mode substrate has three gated
+    # representatives (pagerank/wcc/label_propagation); fastrp's kernel is
+    # untouched since its r02 green (embeddings.py's round-3 change was
+    # node2vec-only) and its _Scratch truncation substrate is gated via
+    # louvain. Both remain pytest-oracled every run.
+    "scc", "fastrp",
 ]
 
 
@@ -2229,6 +2261,50 @@ rk AS (SELECT doc_id, matched_terms, score,
        FROM sc)
 SELECT doc_id, matched_terms, score, CAST("rank" AS BIGINT) AS "rank"
 FROM rk WHERE "rank" <= 10"""
+
+    # regex_redact: sequential sorted-name application (digit_run, email,
+    # ipv4); each pattern's count is taken on the string state it sees —
+    # DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
+    _rx_num, _rx_email, _rx_ip = (
+        r"\d{9,}",
+        r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    )
+    o["regex_redact"] = f"""
+WITH s0 AS (SELECT doc_id, lower(text) AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, '{_rx_num}', '<NUM>', 'g') AS t1 FROM s0),
+s2 AS (SELECT doc_id, t0, t1,
+              regexp_replace(t1, '{_rx_email}', '<EMAIL>', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{_rx_ip}', '<IP>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t0, '{_rx_num}', 0))
+          + len(regexp_extract_all(t1, '{_rx_email}', 0))
+          + len(regexp_extract_all(t2, '{_rx_ip}', 0)) AS BIGINT) AS n_redacted
+FROM s2"""
+
+    # shuffle_shards: range-bucketed md5 order key; pos ranks within shard
+    o["shuffle_shards"] = f"""
+WITH d AS (SELECT doc_id, {_u01_sql("doc_id", "'shuffle'", "42")} AS u
+           FROM documents)
+SELECT doc_id, CAST(floor(u * 8) AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY floor(u * 8)
+                               ORDER BY u ASC, doc_id ASC) AS BIGINT) AS pos
+FROM d"""
+
+    # token_budget_sample: the oracle is the single global exclusive
+    # cumulative sum the two-level bucket-prefix plan must equal exactly
+    o["token_budget_sample"] = f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split({_NORM}, ' '),
+                                       t -> t <> '')) AS BIGINT) AS n_tokens,
+                  {_u01_sql("doc_id", "'budget'", "42")} AS u
+           FROM documents)
+SELECT doc_id, n_tokens,
+       (COALESCE(SUM(n_tokens) OVER (ORDER BY u ASC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        < 5000) AS kept
+FROM d"""
 
     o["corpus_vocabulary"] = f"""
 WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),

@@ -625,6 +625,16 @@ ESTIMATOR_FOR_QUERY = {
     # BM25 top-k: postings agg (term, doc tf) + per-query accumulate +
     # distributed top-k — two occurrence-sized map-side-combinable aggs
     "bm25_topk": "corpus_vocabulary",
+    # PII redaction: chained regexp_replace in one codegen scan, no shuffle
+    "regex_redact": "text_scan",
+    # shuffle-shards: one row_number window partitioned by shard — shuffle
+    # keys are (shard), state per task is one counter: the text_scan byte
+    # shape with a single hash exchange
+    "shuffle_shards": "text_scan",
+    # token-budget sample: token-count scan + n_buckets-row driver prefix +
+    # within-bucket window — per-task state is one running sum; the
+    # text_scan byte shape with a single hash exchange
+    "token_budget_sample": "text_scan",
 }
 
 

@@ -566,3 +566,146 @@ def bm25_topk(
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "matched_terms", "score", "rank")
+
+
+#: default regex_redact replacements: applied in sorted-name order; tokens
+#: are single words with no regex metacharacters so chained replacement is
+#: well-defined in both engines.
+DEFAULT_REDACT_PATTERNS = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "digit_run": (r"\d{9,}", "<NUM>"),
+}
+
+
+def regex_redact(
+    docs: DataFrame,
+    patterns: dict[str, tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction → ``(doc_id, redacted, n_redacted)``.
+
+    The action half of :func:`regex_scan`: REPLACE every match of each
+    named pattern with its placeholder token instead of merely counting.
+    Patterns apply to the lowercased text sequentially in sorted-name
+    order, and each pattern's match count is taken on the string state it
+    actually sees (an earlier replacement can legitimately create or
+    destroy later matches — the sequential contract makes the result
+    well-defined and engine-portable). ``n_redacted`` is the total across
+    patterns.
+
+    Stays JVM-side: a chain of ``regexp_replace`` + ``regexp_extract_all``
+    expressions inside whole-stage codegen — one narrow pass over the
+    corpus, no shuffle, no Python. At 100 TB this is a map-only stage that
+    pipelines into whatever sink follows. Patterns must avoid
+    Java-vs-RE2 divergent syntax (lookaround, backreferences) — the
+    defaults do.
+    """
+    pats = patterns or DEFAULT_REDACT_PATTERNS
+    cur = F.lower(F.col(text_col))
+    total = F.lit(0).cast("long")
+    for name in sorted(pats):
+        rx, tok = pats[name]
+        total = total + F.size(
+            F.regexp_extract_all(cur, F.lit(rx), F.lit(0))).cast("long")
+        cur = F.regexp_replace(cur, rx, tok)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        cur.alias("redacted"),
+        total.alias("n_redacted"),
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding → ``(doc_id, shard, pos)``.
+
+    The training-order writer: every pretraining pipeline ends by shuffling
+    the corpus into a reproducible random order and writing N shard files a
+    data loader streams in sequence. Order key ``u = u01(doc_id, 'shuffle',
+    seed)`` (md5 hash-uniform — stable under reshuffles, re-runs and
+    cluster-size changes); ``shard = floor(u · n_shards)`` RANGE-buckets the
+    key so shards are contiguous spans of the global permutation —
+    concatenating shard 0..N-1, each in ``pos`` order, reproduces the exact
+    global shuffle order (the property a sequential loader needs); ``pos``
+    is the document's rank within its shard (ties broken by doc_id).
+
+    Scale plan: the only wide op is the ``row_number`` window PARTITIONED
+    BY shard — n_shards-way parallel, never a single global sort. At 100 TB
+    set ``n_shards`` to the target file count (thousands), so each window
+    partition is one write-task-sized span; hash-uniform u makes shard
+    sizes even (n/N ± √n) with no skew by construction.
+    """
+    from graph_data_science_spark.operators.embeddings import _u01
+
+    u = _u01(F.col(id_col), F.lit("shuffle"), F.lit(int(seed)))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        u.alias("_u"),
+        F.floor(u * int(n_shards)).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("_u"), F.asc("doc_id"))
+    return d.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Token-budget sampling → ``(doc_id, n_tokens, kept)``.
+
+    The "give me exactly a T-token corpus" decision: walk the documents in
+    the deterministic shuffle order (``u = u01(doc_id, 'budget', seed)``,
+    ties by doc_id) and keep each document iff the tokens consumed by all
+    PRECEDING kept... — since the walk keeps every prefix document, iff the
+    exclusive running token sum is still below ``budget_tokens``. The kept
+    set is a hash-stable prefix: enlarging the budget only ever ADDS
+    documents, never swaps them (monotonicity real data-mix ablations rely
+    on). Tokens are the whitespace tokens of the normalized text (the
+    corpus-wide convention).
+
+    Scale plan: a single global cumulative-sum window would serialize 100 TB
+    through ONE task, so the prefix sum is TWO-LEVEL — ``bucket = floor(u ·
+    n_buckets)`` range-buckets the order key, per-bucket token totals
+    (n_buckets rows) come to the driver, their exclusive prefix offsets
+    broadcast back, and the within-bucket cumsum window partitions by
+    bucket (n_buckets-way parallel). offset(bucket) + within-bucket
+    exclusive cumsum = exact global exclusive cumsum.
+    """
+    from graph_data_science_spark.operators.embeddings import _u01
+
+    u = _u01(F.col(id_col), F.lit("budget"), F.lit(int(seed)))
+    toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda t: t != "")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        u.alias("_u"),
+        F.floor(u * int(n_buckets)).cast("long").alias("_b"),
+    )
+    d = d.localCheckpoint(eager=True)  # cut the double-scan of the prefix pass
+    totals = {int(r["_b"]): int(r["t"])
+              for r in d.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()}
+    rows, acc = [], 0
+    for b in range(int(n_buckets)):
+        rows.append((b, acc))
+        acc += totals.get(b, 0)
+    off = docs.sparkSession.createDataFrame(rows, "_b long, _off long")
+    w = (Window.partitionBy("_b").orderBy(F.asc("_u"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pre = F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.join(F.broadcast(off), "_b").select(
+        "doc_id", "n_tokens",
+        (pre < int(budget_tokens)).alias("kept"),
+    )
