@@ -1521,6 +1521,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_budget_sample"] = lambda s, d: token_budget_sample(
         _docs(s, d), budget_tokens=5000, n_buckets=16)
 
+    # keep-policy dedup (keep the longest cluster member): composes the
+    # GATED near_duplicate_clusters with one argmax agg — fully oracled;
+    # sits outside the 50-entry cap (scripts/run_ungated.py + the sf0.001
+    # pytest oracle cover it every run)
+    from graph_data_science_spark.operators.pipeline_ops import (
+        near_duplicate_keep)
+
+    q["near_duplicate_keep"] = lambda s, d: near_duplicate_keep(
+        _docs(s, d), priority_col="n_chars", num_hashes=8, bands=4)
+
     from graph_data_science_spark.operators.pipeline_ops import (
         hashed_ngram_features, quality_classifier)
 
@@ -1770,6 +1780,11 @@ _GATE_LAST = [
     # node2vec-only) and its _Scratch truncation substrate is gated via
     # louvain. Both remain pytest-oracled every run.
     "scc", "fastrp",
+    # new in session 6 but intentionally OUTSIDE the cap: composes the
+    # GATED near_duplicate_clusters (same pair graph + unrolled WCC) with
+    # one argmax agg; fully oracled, so the sf0.001 pytest oracle runs it
+    # every suite run and scripts/run_ungated.py runs it at gate scale
+    "near_duplicate_keep",
 ]
 
 
@@ -2205,6 +2220,20 @@ c0 AS MATERIALIZED (SELECT doc_id AS node_id, doc_id AS component FROM documents
         "\n".join(ndc_parts).rstrip(",") + "\n"
         f"SELECT node_id AS doc_id, component AS cluster_id, "
         f"node_id <> component AS is_duplicate FROM c{ndc_rounds}")
+
+    # keep-policy dedup: same unrolled WCC, keeper = argmax(n_chars) per
+    # component with lowest-doc_id ties — ROW_NUMBER ≡ Spark's
+    # max(struct(priority, -doc_id)) election
+    o["near_duplicate_keep"] = (
+        "\n".join(ndc_parts) + "\n"
+        f"""d AS (SELECT c.node_id AS doc_id, c.component AS cluster_id,
+           doc.n_chars AS p
+    FROM c{ndc_rounds} c JOIN documents doc ON doc.doc_id = c.node_id),
+rk AS (SELECT doc_id, cluster_id,
+              ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY p DESC, doc_id ASC) AS rn
+       FROM d)
+SELECT doc_id, cluster_id, rn = 1 AS kept FROM rk""")
 
     # segment_dedup: 0-based segment i = tokens i*20+1 .. (i+1)*20 (DuckDB
     # lists are 1-indexed, slices clamp like Spark's slice); the keeper of a

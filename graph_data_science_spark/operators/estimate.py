@@ -627,6 +627,9 @@ ESTIMATOR_FOR_QUERY = {
     "bm25_topk": "corpus_vocabulary",
     # PII redaction: chained regexp_replace in one codegen scan, no shuffle
     "regex_redact": "text_scan",
+    # keep-policy dedup: the clusters op's plan + one cluster-keyed argmax
+    # agg — the minhash/WCC composite's byte shape dominates
+    "near_duplicate_keep": "minhash",
     # shuffle-shards: one row_number window partitioned by shard — shuffle
     # keys are (shard), state per task is one counter: the text_scan byte
     # shape with a single hash exchange

@@ -68,6 +68,49 @@ def near_duplicate_clusters(
     )
 
 
+def near_duplicate_keep(
+    docs: DataFrame,
+    priority_col: str = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Fuzzy dedup with a KEEP POLICY → ``(doc_id, cluster_id, kept)``.
+
+    :func:`near_duplicate_clusters` keeps each cluster's lowest-id member;
+    real pipelines usually keep the BEST member — longest document, highest
+    quality score, freshest crawl. ``kept`` is true iff the doc is its
+    cluster's argmax of ``priority_col`` (ties by lowest doc_id). The
+    default priority ``n_chars`` ("keep the longest") uses exact integers,
+    so the decision is bit-stable across engines; pass any numeric column
+    (e.g. a joined :func:`~graph_data_science_spark.operators.text.quality_score`)
+    for quality-priority dedup.
+
+    Scale: the keeper election is ONE partial-aggregatable
+    ``max(struct(priority, -doc_id))`` per cluster (map-side combinable —
+    shuffle volume is #clusters, not #docs) joined back cluster-keyed;
+    everything else is the clusters op's own plan.
+    """
+    clusters = near_duplicate_clusters(
+        docs, text_col, id_col, num_hashes, bands, shingle_n)
+    prio = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(priority_col).cast("long").alias("_p"))
+    d = clusters.join(prio, "doc_id")
+    keeper = d.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_p"), (-F.col("doc_id")).alias("_nid")))
+        .alias("_best"))
+    return (
+        d.join(keeper, "cluster_id")
+        .select(
+            "doc_id", "cluster_id",
+            ((F.col("_p") == F.col("_best._p"))
+             & (F.col("doc_id") == -F.col("_best._nid"))).alias("kept"),
+        )
+    )
+
+
 def corpus_vocabulary(
     docs: DataFrame,
     text_col: str = "text",

@@ -101,3 +101,27 @@ def test_token_budget_monotone_in_budget(spark):
     other = {r["doc_id"] for r in
              token_budget_sample(docs, 20, n_buckets=13).collect() if r["kept"]}
     assert other == small
+
+
+def test_near_duplicate_keep_longest(spark):
+    from graph_data_science_spark.operators.pipeline_ops import (
+        near_duplicate_keep)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, base, len(base)),
+            (1, base + " extra", len(base) + 6),       # longest near-dup
+            (2, base + " other", len(base) + 6),       # same length: id tie
+            (3, "completely different words entirely unrelated text", 50),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in
+           near_duplicate_keep(docs, num_hashes=8, bands=4).collect()}
+    cluster = {got[i]["cluster_id"] for i in (0, 1, 2)}
+    assert len(cluster) == 1          # the three near-dups share a cluster
+    assert not got[0]["kept"]         # shortest loses
+    assert got[1]["kept"]             # longest, lowest id on the tie
+    assert not got[2]["kept"]
+    assert got[3]["kept"]             # singleton keeps itself
