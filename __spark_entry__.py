@@ -1250,6 +1250,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # classes=2); the engine converging earlier is fine — idempotence
     q["louvain"] = lambda s, d: louvain(
         build_graph(s, d), max_levels=2, max_iterations=4).communities
+    # the distributed sub-round kernel, gate-pinned off the local finish —
+    # both paths are oracled against the same unrolled-SQL recurrence
+    # (tests/test_louvain_local_finish.py proves bit-parity directly)
+    q["louvain_distributed"] = lambda s, d: louvain(
+        build_graph(s, d), max_levels=2, max_iterations=4,
+        local_finish_max_rows=0).communities
     q["modularity_optimization"] = lambda s, d: modularity_optimization(
         build_graph(s, d), max_iterations=4).communities
 
@@ -1698,6 +1704,11 @@ _GATE_FIRST = [
     # order, token-budget sampling (two-level prefix sum) — gate on first
     # exposure
     "regex_redact", "shuffle_shards", "token_budget_sample",
+    # round-3 session-7 kernel change: size-gated driver-side local finish
+    # for louvain/modularityOptimization — gate BOTH paths (louvain takes
+    # the local path at sf0.01; louvain_distributed pins the distributed
+    # sub-round kernel; modularity_optimization's single level runs local)
+    "louvain", "louvain_distributed", "modularity_optimization",
 ]
 _GATE_LAST = [
     # displaced to make room for the round-3 batch-2 gates (pack_sequences /
@@ -1710,7 +1721,6 @@ _GATE_LAST = [
     # modularity_optimization's local-moving kernel is exercised by louvain
     # (gated) — all four remain pytest-oracled every run
     "celf", "all_shortest_paths", "random_walks_biased",
-    "modularity_optimization",
     # displaced for the hashed_features / quality_classifier_scores gates:
     # k1coloring's kernel is untouched this round (clustering.py's round-3
     # change was kmeans init — kmeans stays gated); hashgnn's kernel is
@@ -1858,6 +1868,7 @@ SELECT node1, node2, similarity FROM rk WHERE rn <= 5"""
 
     o["hits"] = _hits_sql(20)
     o["louvain"] = _louvain_sql(levels=2, iters=4, classes=2)
+    o["louvain_distributed"] = _louvain_sql(levels=2, iters=4, classes=2)
     o["modularity_optimization"] = _louvain_sql(levels=1, iters=4, classes=2)
 
     o["modularity_nation"] = f"""WITH {EDGES_SQL},{_COMM_SQL},

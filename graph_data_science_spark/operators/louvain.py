@@ -73,6 +73,17 @@ _AQE_OFF_MIN_M = float(os.environ.get("SPARK_GRAFT_AQE_OFF_MIN_M", "2000000"))
 # bound, large states rescan faster from columnar parquet
 _MEM_TRUNC_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_AQE_OFF_MIN_ROWS", "1000000"))
 
+# adjacency ROW count (mirrored, ≈ 2× edges) at or below which the remaining
+# levels finish on the driver (_local_solve) instead of paying the per-job
+# scheduling floor per sub-round. This is the standard two-phase design of
+# every distributed Louvain (and what the single-node reference IS): level 0
+# on a 100 TB graph stays fully distributed, but each coarsening shrinks the
+# supernode graph by orders of magnitude, and once it fits in driver memory
+# (~2M rows ≈ 50 MB Arrow) the fixed sub-round schedule is pure scheduling
+# floor — finish it locally, bit-identically. 0 disables.
+_LOCAL_FINISH_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_LOUVAIN_LOCAL_MAX", "2000000"))
+
 
 class _Scratch:
     """Per-stream loop-state truncation: parquet round-trip OR retired
@@ -530,6 +541,7 @@ def modularity_optimization(
     max_iterations: int = 10,
     n_classes: int = 2,
     weighted: bool = True,
+    local_finish_max_rows: int | None = None,
 ) -> CommunityResult:
     """``gds.beta.modularityOptimization`` analog: ONE level of local moving
     (no coarsening) → (node_id, community), community = min member id."""
@@ -547,6 +559,29 @@ def modularity_optimization(
             return CommunityResult(
                 nodes.select("node_id", F.col("node_id").alias("community")),
                 0.0, 1, 0, True)
+        # same size-gated local finish as _multilevel (one level here)
+        lf_max = (_LOCAL_FINISH_MAX_ROWS if local_finish_max_rows is None
+                  else local_finish_max_rows)
+        adj_rows = scratch._rows.get("adj")
+        if (0 < lf_max and adj_rows is not None
+                and adj_rows <= lf_max
+                and nodes.count() <= lf_max):
+            import numpy as np
+            import pandas as pd
+            pa = adj.select("src", "dst", "w").toPandas()
+            ids = np.sort(nodes.toPandas()["node_id"]
+                          .to_numpy(dtype=np.int64))
+            labels, _, lf_iters, lf_conv = _local_solve(
+                pa["src"].to_numpy(), pa["dst"].to_numpy(),
+                pa["w"].to_numpy(), ids, m, 1, max_iterations,
+                n_classes, 1.0)
+            q = _modularity_local(
+                pa["src"].to_numpy(), pa["dst"].to_numpy(),
+                pa["w"].to_numpy(), labels, ids, m, 1.0)
+            out = spark.createDataFrame(pd.DataFrame(
+                {"node_id": ids, "community": labels.astype("int64")}))
+            out = out.localCheckpoint(eager=True)
+            return CommunityResult(out, q, 1, lf_iters, lf_conv)
         k = scratch.truncate(_degrees(adj, nodes), "k")
         comm, moves, iters, lm_conv = _local_move(adj, nodes, k, m,
                                                   max_iterations,
@@ -560,9 +595,173 @@ def modularity_optimization(
         scratch.cleanup()
 
 
+def _round6_half_up(v):
+    """Bit-parity replica of Spark's ``F.round(col, 6)`` on doubles
+    (HALF_UP on the shortest-decimal expansion, java.math.BigDecimal).
+    Vectorized floor(|x|·1e6 + 0.5) fast path; values within float error
+    of a .5 decimal boundary re-rounded exactly via ``decimal`` on the
+    shortest repr (Python ``repr`` = Double.toString's shortest-roundtrip
+    contract)."""
+    import numpy as np
+    scaled = v * 1e6
+    a = np.abs(scaled)
+    r = np.sign(scaled) * np.floor(a + 0.5) / 1e6
+    frac = np.abs(a - np.floor(a) - 0.5)
+    near = frac <= np.maximum(1e-9, 8.0 * np.spacing(a))
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+        q = Decimal("1e-6")
+        idx = np.nonzero(near)[0]
+        for i in idx:
+            r[i] = float(Decimal(repr(float(v[i])))
+                         .quantize(q, ROUND_HALF_UP))
+    return r
+
+
+def _local_solve(src, dst, w, ids, m, max_levels, max_iterations,
+                 n_classes, gamma):
+    """Driver-side replica of the distributed level loop (unfused
+    ``_local_move`` schedule + ``_relabel_min_member`` + ``_coarsen``),
+    bit-identical on integer-weight graphs (module docstring: the 6dp
+    rounding contract makes every score operand exact there, so the
+    NumPy and Catalyst evaluations agree bit-for-bit; ``_round6_half_up``
+    replicates ``F.round`` semantics).
+
+    Inputs are the mirrored row-sum adjacency arrays (each u≠v edge twice,
+    self-loops once with doubled w) and the current supernode ids. Returns
+    ``(labels, levels_run, total_iters, converged)`` with ``labels[i]`` =
+    final community (min original member id) of ``ids[i]``."""
+    import numpy as np
+
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+
+    # fpos[i] = position of ORIGINAL node ids0[i] in the CURRENT level's ids
+    fpos = np.arange(len(ids), dtype=np.int64)
+    out_labels = ids.copy()
+    levels = 0
+    total_iters = 0
+    moves_last_level = 1
+    level_conv = True
+
+    for _ in range(int(max_levels)):
+        n = len(ids)
+        sp = np.searchsorted(ids, src)
+        dp = np.searchsorted(ids, dst)
+        k = np.bincount(sp, weights=w, minlength=n)
+        # community as a POSITION into ids: positions are order-isomorphic
+        # to labels (ids sorted ascending), so every label comparison and
+        # tie-break below is done on positions
+        comm = np.arange(n, dtype=np.int64)
+        # per-class edge subsets / movers (fixed for the whole level)
+        nonloop = src != dst
+        cls_e = np.mod(src, n_classes)
+        by_class = []
+        for p in range(n_classes):
+            sel = nonloop & (cls_e == p)
+            by_class.append((
+                sp[sel].astype(np.int64), dp[sel], w[sel],
+                np.nonzero(np.mod(ids, n_classes) == p)[0].astype(np.int64),
+            ))
+        level_moves = 0
+        it = 0
+        last_iter_moves = 1
+        while it < max_iterations:
+            iter_moves = 0
+            for p in range(n_classes):
+                se, de, we, movers = by_class[p]
+                # candidate tallies k_{v,C} over edges + (v, cur, 0)
+                key = np.concatenate([
+                    se * n + comm[de],
+                    movers * n + comm[movers],
+                ])
+                kw = np.concatenate([we, np.zeros(len(movers))])
+                uk, inv = np.unique(key, return_inverse=True)
+                kuc = np.bincount(inv, weights=kw)
+                vpos = uk // n
+                cpos = uk % n
+                # volumes from the PREVIOUS assignment (sync within class)
+                volv = np.bincount(comm, weights=k, minlength=n)
+                cur_of_v = comm[vpos]
+                kv = k[vpos]
+                own = np.where(cpos == cur_of_v, kv, 0.0)
+                # mirror Spark's evaluation order:
+                # kuc - ((gamma * k) * (vol - own)) / (2m), rounded 6dp
+                s = _round6_half_up(
+                    kuc - ((gamma * kv) * (volv[cpos] - own)) / (2.0 * m))
+                # argmax per v: max s, tie -> smaller C
+                order = np.lexsort((cpos, -s, vpos))
+                first = np.unique(vpos[order], return_index=True)[1]
+                b_v = vpos[order][first]
+                b_c = cpos[order][first]
+                b_s = s[order][first]
+                # score of the CURRENT community (always a candidate)
+                is_cur = cpos == cur_of_v
+                cur_s = np.empty(n)
+                cur_s[vpos[is_cur]] = s[is_cur]
+                mv = b_s > cur_s[b_v]
+                changed = int(np.count_nonzero(mv))
+                if changed:
+                    comm[b_v[mv]] = b_c[mv]
+                iter_moves += changed
+            level_moves += iter_moves
+            it += 1
+            last_iter_moves = iter_moves
+            if iter_moves == 0:
+                break
+        total_iters += it
+        level_conv = last_iter_moves == 0
+        # relabel to min member id (positions -> min member position)
+        lab_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(lab_min, comm, np.arange(n, dtype=np.int64))
+        comm = lab_min[comm]
+        out_labels = ids[comm[fpos]]
+        levels += 1
+        moves_last_level = level_moves
+        if level_moves == 0:
+            break
+        # coarsen: group (comm[src], comm[dst]) sum w
+        upos = np.unique(comm)
+        new_ids = ids[upos]
+        nn = len(new_ids)
+        ren = np.empty(n, dtype=np.int64)
+        ren[upos] = np.arange(nn, dtype=np.int64)
+        ck = ren[comm[sp]] * nn + ren[comm[dp]]
+        uk, inv = np.unique(ck, return_inverse=True)
+        w = np.bincount(inv, weights=w)
+        src = new_ids[(uk // nn).astype(np.int64)]
+        dst = new_ids[(uk % nn).astype(np.int64)]
+        fpos = ren[comm[fpos]]
+        ids = new_ids
+
+    converged = (moves_last_level == 0) or level_conv
+    return out_labels, levels, total_iters, converged
+
+
+def _modularity_local(src, dst, w, labels_by_pos, ids, m, gamma):
+    """Driver-side ``_modularity_value`` on the mirrored row-sum arrays."""
+    import numpy as np
+    ids = np.asarray(ids, dtype=np.int64)
+    sp = np.searchsorted(ids, np.asarray(src, dtype=np.int64))
+    dp = np.searchsorted(ids, np.asarray(dst, dtype=np.int64))
+    w = np.asarray(w, dtype=np.float64)
+    lab = np.asarray(labels_by_pos, dtype=np.int64)
+    ulab, lpos = np.unique(lab, return_inverse=True)
+    intra = np.bincount(
+        lpos[sp], weights=np.where(lab[sp] == lab[dp], w, 0.0),
+        minlength=len(ulab))
+    vol = np.bincount(lpos[sp], weights=w, minlength=len(ulab))
+    return float(np.sum(intra / (2.0 * m)
+                        - gamma * (vol / (2.0 * m)) ** 2))
+
+
 def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
                 refine: bool, gamma: float = 1.0, theta: float = 0.0,
-                seed: int = 42):
+                seed: int = 42, local_finish_max_rows: int | None = None):
+    lf_max = (_LOCAL_FINISH_MAX_ROWS if local_finish_max_rows is None
+              else local_finish_max_rows)
     spark = graph.nodes.sparkSession
     scratch = _Scratch(spark)
     try:
@@ -581,7 +780,52 @@ def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
         total_iters = 0
         level_conv = True
         moves = 0
+        adj_stream = "adj0"
         for _ in range(max_levels):
+            # local finish (module constant doc): once the current level's
+            # graph fits under the gate, the remaining levels are pure
+            # per-job scheduling floor distributed — run them bit-identically
+            # on the driver instead. Level 0 of a 100 TB graph never takes
+            # this path; coarsened levels usually do.
+            adj_rows = scratch._rows.get(adj_stream)
+            if (not refine and 0 < lf_max
+                    and adj_rows is not None
+                    and adj_rows <= lf_max):
+                sup_rows = (scratch._rows.get("sup") if levels > 0
+                            else sup.count())
+                if (sup_rows is not None
+                        and sup_rows <= lf_max):
+                    import numpy as np
+                    import pandas as pd
+                    pa = adj.select("src", "dst", "w").toPandas()
+                    ids = np.sort(sup.select("node_id").toPandas()
+                                  ["node_id"].to_numpy(dtype=np.int64))
+                    labels, lf_levels, lf_iters, lf_conv = _local_solve(
+                        pa["src"].to_numpy(), pa["dst"].to_numpy(),
+                        pa["w"].to_numpy(), ids, m,
+                        max_levels - levels, max_iterations, n_classes,
+                        gamma)
+                    lab_pdf = pd.DataFrame(
+                        {"super": ids, "community": labels.astype("int64")})
+                    if levels == 0:
+                        # mapping is still the identity: emit directly
+                        final = spark.createDataFrame(
+                            lab_pdf.rename(columns={"super": "node_id"}))
+                        q = _modularity_local(
+                            pa["src"].to_numpy(), pa["dst"].to_numpy(),
+                            pa["w"].to_numpy(), labels, ids, m, gamma)
+                    else:
+                        final = mapping.join(
+                            F.broadcast(spark.createDataFrame(lab_pdf)),
+                            "super").select("node_id", "community")
+                        q = _modularity_value(
+                            adj0,
+                            final.select("node_id",
+                                         F.col("community").alias("comm")),
+                            m, gamma)
+                    final = final.localCheckpoint(eager=True)
+                    return CommunityResult(final, q, levels + lf_levels,
+                                           total_iters + lf_iters, lf_conv)
             k = scratch.truncate(_degrees(adj, sup), "k")
             comm, moves, iters, level_conv = _local_move(
                 adj, sup, k, m, max_iterations, n_classes, scratch, gamma)
@@ -608,6 +852,7 @@ def _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
             if moves == 0:
                 break
             adj = scratch.truncate(_coarsen(adj, comm), "cadj")
+            adj_stream = "cadj"
             sup = scratch.truncate(
                 comm.select(F.col("comm").alias("node_id")).distinct(), "sup")
         final = mapping.select("node_id", F.col("super").alias("community"))
@@ -631,11 +876,13 @@ def louvain(
     max_iterations: int = 10,
     n_classes: int = 2,
     weighted: bool = True,
+    local_finish_max_rows: int | None = None,
 ) -> CommunityResult:
     """``gds.louvain`` analog (Louvain.java:49). Deterministic schedule —
     see module docstring; community ids = min original member node id."""
     return _multilevel(graph, max_levels, max_iterations, n_classes, weighted,
-                       refine=False)
+                       refine=False,
+                       local_finish_max_rows=local_finish_max_rows)
 
 
 def leiden(
