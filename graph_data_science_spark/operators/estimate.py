@@ -271,6 +271,20 @@ def kmeans_spark_bytes(vector_count: int, dim: int, k: int) -> dict:
     }
 
 
+def pq_spark_bytes(vector_count: int, dim: int, m: int = 4,
+                   k: int = 16, n_queries: int = 1) -> dict:
+    """Product quantization (operators/pq.py): training state is the
+    long-format sample, codes are m small ints per vector (the compression
+    that makes 10^9-vector ANN scannable), ADC tables are Q·m·k doubles."""
+    sub_dim = max(1, dim // m)
+    return {
+        "state_bytes": _state(vector_count, m + 1),      # codes table
+        "codebook_broadcast_bytes": int(m * k * sub_dim * 8),
+        "adc_table_bytes": int(n_queries * m * k * 8),
+        "adc_scan_rows": int(vector_count * m),          # explode factor
+    }
+
+
 def hashgnn_spark_bytes(node_count: int, edge_count: int,
                         embedding_bits: int = 64, iterations: int = 2) -> dict:
     words = max(1, embedding_bits // 64)
@@ -496,6 +510,7 @@ _SPARK_ESTIMATORS = {
     "k1coloring": coloring_spark_bytes,
     "maxkcut": coloring_spark_bytes,
     "kmeans": kmeans_spark_bytes,
+    "pq": pq_spark_bytes,
     "hashgnn": hashgnn_spark_bytes,
     "graphsage": graphsage_spark_bytes,
     "fastrp": fastrp_spark_bytes,
@@ -538,7 +553,8 @@ ESTIMATOR_FOR_QUERY = {
     "local_clustering_coefficient": "triangle_count",
     "degree_out": "degree", "degree_in_weighted": "degree",
     "node_similarity": "node_similarity",
-    "louvain": "louvain", "modularity_optimization": "modularity_optimization",
+    "louvain": "louvain", "louvain_distributed": "louvain",
+    "modularity_optimization": "modularity_optimization",
     "leiden": "leiden", "hits": "hits",
     "modularity_nation": "modularity", "conductance_nation": "conductance",
     "collapse_path_2": "collapse_path",
@@ -549,7 +565,8 @@ ESTIMATOR_FOR_QUERY = {
     "shortest_path_dijkstra": "dijkstra", "yens_k3": "yens",
     "scc": "scc", "fastrp": "fastrp",
     "random_walks": "random_walks", "random_walks_biased": "random_walks",
-    "kmeans": "kmeans", "k1coloring": "k1coloring", "maxkcut": "maxkcut",
+    "kmeans": "kmeans", "pq_codes": "pq", "pq_topk": "pq",
+    "k1coloring": "k1coloring", "maxkcut": "maxkcut",
     "hashgnn": "hashgnn", "graphsage": "graphsage", "celf": "celf",
     "bfs": "bfs", "dfs": "dfs", "sssp_weighted": "sssp",
     "dag_levels": "dag_levels", "k_core_3": "k_core", "coreness": "k_core",

@@ -1,0 +1,130 @@
+"""Product quantization (operators/pq.py): codebook shape, encode
+determinism, ADC ranking quality vs exact distances, and the
+sample-trained codebook contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.pq import (
+    PQModel,
+    pq_encode,
+    pq_topk,
+    pq_topk_rerank,
+    pq_train,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def model(vecs):
+    return pq_train(vecs, m=4, k=8, max_iterations=3)
+
+
+def test_codebook_shape(model):
+    # m subspaces × k centroids × (64/m) dims
+    assert model.sub_dim == 16
+    assert model.codebook.count() == 4 * 8 * 16
+    subs = {r["sub"] for r in model.codebook.select("sub").distinct().collect()}
+    assert subs == {0, 1, 2, 3}
+
+
+def test_encode_codes_in_range_and_deterministic(vecs, model):
+    enc = pq_encode(vecs, model).collect()
+    assert len(enc) == vecs.count()
+    for r in enc:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+    enc2 = {r["vec_id"]: r["codes"] for r in pq_encode(vecs, model).collect()}
+    assert {r["vec_id"]: r["codes"] for r in enc} == enc2
+
+
+def test_flat_encode_matches_array(vecs, model):
+    arr = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(vecs, model).collect()}
+    flat = {r["vec_id"]: [r[f"code_{j}"] for j in range(4)]
+            for r in pq_encode(vecs, model, flat=True).collect()}
+    assert arr == flat
+
+
+def test_m_must_divide_dim(vecs):
+    with pytest.raises(ValueError):
+        pq_train(vecs, m=5, k=4, max_iterations=1)
+
+
+def _recall_at_10(vecs, result_df):
+    got = {}
+    for r in result_df.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pdf = vecs.toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    ids = pdf["vec_id"].to_numpy()
+    recalls = []
+    for qid in range(10):
+        qv = X[ids == qid][0]
+        d = ((X - qv) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d))[:10]].tolist())
+        recalls.append(len(exact & got[qid]) / 10.0)
+    return float(np.mean(recalls))
+
+
+def test_adc_recall_vs_exact(spark, vecs, model):
+    """Plain ADC ranking must land well above chance (10/500 = 0.02) —
+    the fixtures are near-isotropic 64-dim vectors, the hardest case for
+    8-byte codes, so the measured plain-ADC recall here is ~0.2-0.3; the
+    production answer is the rerank path below."""
+    queries = vecs.where("vec_id < 10")
+    approx = pq_topk(vecs, model, queries=queries, k_neighbors=10)
+    assert _recall_at_10(vecs, approx) >= 0.15
+
+
+def test_rerank_recall_and_improvement(spark, vecs, model):
+    """IVFADC+R contract: an exact re-rank over a 10× ADC shortlist must
+    recover most of the exact top-10 and strictly beat plain ADC."""
+    queries = vecs.where("vec_id < 10")
+    plain = _recall_at_10(
+        vecs, pq_topk(vecs, model, queries=queries, k_neighbors=10))
+    rr = _recall_at_10(
+        vecs, pq_topk_rerank(vecs, model, queries, 10, rerank_factor=10))
+    assert rr >= 0.5, (plain, rr)
+    assert rr > plain
+
+
+def test_rerank_exactness_on_shortlist(spark, vecs, model):
+    # re-ranked distances are the true squared L2 of the returned pairs
+    rr = pq_topk_rerank(vecs, model, vecs.where("vec_id < 3"), 3,
+                        rerank_factor=5).collect()
+    pdf = vecs.toPandas()
+    X = {int(v): np.asarray(emb, dtype=float)
+         for v, emb in zip(pdf["vec_id"], pdf["embedding"])}
+    for r in rr:
+        true = float(((X[r["query_id"]] - X[r["vec_id"]]) ** 2).sum())
+        assert r["dist"] == pytest.approx(round(true, 6), abs=1e-6)
+
+
+def test_adc_self_distance_is_minimal(vecs, model):
+    # every query's own code shares all m cells with itself, so the query
+    # ranks its own vector at (or tied with) the top
+    tk = pq_topk(vecs, model, queries=vecs.where("vec_id < 5"),
+                 k_neighbors=1)
+    for r in tk.collect():
+        own = (pq_topk(vecs, model,
+                       queries=vecs.where(f"vec_id = {r['query_id']}"),
+                       k_neighbors=500)
+               .where(F.col("vec_id") == r["query_id"]).first())
+        assert own["adist"] <= r["adist"] + 1e-9
+
+
+def test_sample_trained_codebook(vecs):
+    # training on a hash sample must produce a usable codebook over the
+    # FULL corpus (the 100 TB contract: train small, encode everything)
+    m = pq_train(vecs, m=2, k=4, max_iterations=2, sample_fraction=0.3)
+    enc = pq_encode(vecs, m)
+    assert enc.count() == vecs.count()
+    assert m.codebook.count() == 2 * 4 * 32
