@@ -60,7 +60,10 @@ class PQModel:
 def _long_points(vecs: DataFrame, m: int, id_col: str,
                  vec_col: str) -> tuple[DataFrame, int]:
     """(id, sub, sdim, val) long format; returns (df, sub_dim)."""
-    d = len(vecs.select(vec_col).first()[0])
+    head = vecs.select(vec_col).first()
+    if head is None:
+        raise ValueError("empty vector table")
+    d = len(head[0])
     if d % m != 0:
         raise ValueError(f"m={m} must divide embedding dim {d}")
     ds = d // m
@@ -121,6 +124,12 @@ def pq_train(
         seeds = (train.select(F.col(id_col).alias("id"))
                  .orderBy(*order).limit(int(k))
                  .withColumn("cluster", F.row_number().over(w) - 1))
+        n_seeds = seeds.count()
+        if n_seeds < int(k):
+            raise ValueError(
+                f"training set has only {n_seeds} vectors for k={k} "
+                f"centroids (sample_fraction={sample_fraction!r} too "
+                f"aggressive?)")
         cents = pts.join(F.broadcast(seeds), "id").select(
             "sub", "cluster", "sdim", F.round("val", 6).alias("cval"))
         cents = scratch.truncate(cents, "cents")

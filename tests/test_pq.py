@@ -128,3 +128,13 @@ def test_sample_trained_codebook(vecs):
     enc = pq_encode(vecs, m)
     assert enc.count() == vecs.count()
     assert m.codebook.count() == 2 * 4 * 32
+
+
+def test_undersized_training_set_raises(vecs):
+    with pytest.raises(ValueError, match="only"):
+        pq_train(vecs.where("vec_id < 3"), m=2, k=8, max_iterations=1)
+
+
+def test_empty_vector_table_raises(spark, vecs):
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(vecs.where("vec_id < 0"), m=2, k=4, max_iterations=1)
