@@ -697,6 +697,80 @@ rk AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (
 SELECT query_id, vec_id, adist FROM rk WHERE rn <= {topk}""")
 
 
+def _hll_prefix_sql(p: int = 9, seed: int = 42,
+                    value: str = "text", group: str = "lang") -> str:
+    """HLL register CTE over documents (operators/sketches.py): the
+    md5-top-60-bit hash, reg = top p bits, rho = leading-zero rank."""
+    wbits = 60 - p
+    return f"""WITH h AS MATERIALIZED (
+    SELECT {group} AS grp,
+           CAST('0x' || substr(md5(CAST({value} AS VARCHAR) || ':' ||
+                '{int(seed)}'), 1, 15) AS BIGINT) AS h
+    FROM documents),
+regs AS MATERIALIZED (
+    SELECT grp, h >> {wbits} AS reg,
+           MAX(CASE WHEN h % {1 << wbits} = 0 THEN {wbits + 1}
+               ELSE {wbits} - length(bin(h % {1 << wbits})) + 1 END) AS rho
+    FROM h GROUP BY grp, h >> {wbits})"""
+
+
+def _hll_registers_sql(p: int = 9, seed: int = 42) -> str:
+    return (_hll_prefix_sql(p, seed) + """
+SELECT grp AS "group", CAST(reg AS BIGINT) AS reg, CAST(rho AS BIGINT) AS rho
+FROM regs""")
+
+
+def _hll_distinct_sql(p: int = 9, seed: int = 42) -> str:
+    m = 1 << p
+    a = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else \
+        {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    scale = float(1 << 53)
+    num = a * m * m * scale  # same Python float product as the engine lit
+    return (_hll_prefix_sql(p, seed) + f""",
+agg AS MATERIALIZED (
+    SELECT grp, SUM(CAST(POW(2.0, 53 - rho) AS BIGINT)) AS s,
+           COUNT(*) AS nz
+    FROM regs GROUP BY grp),
+est AS (
+    SELECT grp,
+           {num!r} / (CAST(s AS DOUBLE)
+                      + CAST({m} - nz AS DOUBLE) * {scale!r}) AS raw,
+           {m} - nz AS v
+    FROM agg)
+SELECT grp AS "group",
+       ROUND(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+             THEN {float(m)!r} * LN({float(m)!r} / CAST(v AS DOUBLE))
+             ELSE raw END, 4) AS approx_distinct
+FROM est""")
+
+
+def _nchars_quantiles_sql(qs=(0.5, 0.9, 0.99)) -> str:
+    """Log2-histogram quantiles over documents.n_chars
+    (operators/sketches.log_histogram + histogram_quantiles)."""
+    qvals = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""WITH hist AS MATERIALIZED (
+    SELECT lang AS grp,
+           CASE WHEN n_chars <= 0 THEN 0
+                ELSE length(bin(CAST(n_chars AS BIGINT))) END AS bin,
+           COUNT(*) AS cnt
+    FROM documents GROUP BY 1, 2),
+cum AS MATERIALIZED (
+    SELECT grp, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+           SUM(cnt) OVER (PARTITION BY grp) AS tot
+    FROM hist),
+qs(q) AS (VALUES {qvals}),
+j AS (SELECT c.*, q.q,
+      ROW_NUMBER() OVER (PARTITION BY c.grp, q.q ORDER BY c.bin) AS rn
+      FROM cum c JOIN qs q ON c.cum >= q.q * c.tot)
+SELECT grp AS "group", q,
+       ROUND(CASE WHEN bin = 0 THEN 0.0
+             ELSE POW(2.0, bin - 1)
+                  + POW(2.0, bin - 1) * (q * tot - (cum - cnt)) / cnt
+             END, 6) AS est
+FROM j WHERE rn = 1"""
+
+
 def _k1coloring_sql(rounds: int = 8) -> str:
     """Unrolled greedy recoloring (operators/clustering.k1coloring):
     per round, conflicted larger-id endpoints pick the smallest color not
@@ -1470,6 +1544,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s.read.parquet(f"{d}/events.parquet"), "1 hour")
 
     # -- text / dedup / similarity (training-data ops) -----------------------
+    from graph_data_science_spark.operators.sketches import (
+        hll_distinct, hll_registers, histogram_quantiles, log_histogram)
+
+    q["hll_registers_lang"] = lambda s, d: hll_registers(
+        s.read.parquet(f"{d}/documents.parquet"), "lang", "text", p=9)
+    q["hll_lang_distinct"] = lambda s, d: hll_distinct(
+        s.read.parquet(f"{d}/documents.parquet"), "lang", "text", p=9)
+    q["nchars_quantiles"] = lambda s, d: histogram_quantiles(
+        log_histogram(s.read.parquet(f"{d}/documents.parquet"),
+                      "lang", "n_chars"))
+
     q["token_count"] = lambda s, d: token_count(_docs(s, d))
     q["token_count_bpe"] = lambda s, d: token_count_bpe_ish(_docs(s, d))
     q["quality_score"] = lambda s, d: quality_score(_docs(s, d))
@@ -1803,8 +1888,21 @@ _GATE_FIRST = [
     # driver-gated green in r02, their kernels are untouched since, and
     # tests/test_entry_oracle.py still value-hashes them every pytest run
     "pq_codes", "pq_topk",
+    # round-3 session-7 addition: mergeable corpus sketches (HLL distinct
+    # counts + log2-histogram quantiles), fully oracled — gate on first
+    # exposure
+    "hll_registers_lang", "hll_lang_distinct", "nchars_quantiles",
 ]
 _GATE_LAST = [
+    # displaced by the session-7 gates (louvain local-finish pair, product
+    # quantization, sketches): the core-four entries below were driver-gated
+    # green in BOTH r01 and r02, their kernels are untouched this round,
+    # every bench run re-executes them end-to-end at sf0.1, and
+    # tests/test_entry_oracle.py value-hashes them at every pytest run —
+    # the 50-slot gate goes to kernels that have never been driver-gated
+    # in their current form
+    "pagerank", "wcc", "label_propagation", "triangle_count",
+    "node_similarity",
     # displaced to make room for the round-3 batch-2 gates (pack_sequences /
     # stratified_sample / regex_scan / one_hot_lang) while keeping
     # sssp_weighted / dag_levels / k_core_3 / coreness (paths.py /
@@ -2008,6 +2106,9 @@ WHERE a.src <> b.dst"""
     o["kmeans"] = _kmeans_sql()
     o["pq_codes"] = _pq_codes_sql()
     o["pq_topk"] = _pq_topk_sql()
+    o["hll_registers_lang"] = _hll_registers_sql()
+    o["hll_lang_distinct"] = _hll_distinct_sql()
+    o["nchars_quantiles"] = _nchars_quantiles_sql()
     o["k1coloring"] = _k1coloring_sql()
     o["maxkcut"] = _maxkcut_sql()
     o["hashgnn"] = _hashgnn_sql()

@@ -271,6 +271,22 @@ def kmeans_spark_bytes(vector_count: int, dim: int, k: int) -> dict:
     }
 
 
+def hll_spark_bytes(group_count: int, p: int = 9) -> dict:
+    """HLL sketches (operators/sketches.py): state is group_count · 2^p
+    registers MAX — the whole point is that it does not grow with rows."""
+    return {
+        "state_bytes_upper": _state(group_count * (1 << p), 3),
+        "merge_shuffle_bytes_upper": _state(group_count * (1 << p), 3),
+    }
+
+
+def histogram_spark_bytes(group_count: int, bins: int = 64) -> dict:
+    return {
+        "state_bytes_upper": _state(group_count * bins, 3),
+        "quantile_window_rows": group_count * bins,
+    }
+
+
 def pq_spark_bytes(vector_count: int, dim: int, m: int = 4,
                    k: int = 16, n_queries: int = 1) -> dict:
     """Product quantization (operators/pq.py): training state is the
@@ -511,6 +527,8 @@ _SPARK_ESTIMATORS = {
     "maxkcut": coloring_spark_bytes,
     "kmeans": kmeans_spark_bytes,
     "pq": pq_spark_bytes,
+    "hll": hll_spark_bytes,
+    "histogram": histogram_spark_bytes,
     "hashgnn": hashgnn_spark_bytes,
     "graphsage": graphsage_spark_bytes,
     "fastrp": fastrp_spark_bytes,
@@ -566,6 +584,8 @@ ESTIMATOR_FOR_QUERY = {
     "scc": "scc", "fastrp": "fastrp",
     "random_walks": "random_walks", "random_walks_biased": "random_walks",
     "kmeans": "kmeans", "pq_codes": "pq", "pq_topk": "pq",
+    "hll_registers_lang": "hll", "hll_lang_distinct": "hll",
+    "nchars_quantiles": "histogram",
     "k1coloring": "k1coloring", "maxkcut": "maxkcut",
     "hashgnn": "hashgnn", "graphsage": "graphsage", "celf": "celf",
     "bfs": "bfs", "dfs": "dfs", "sssp_weighted": "sssp",
