@@ -312,3 +312,64 @@ def run_streaming_triangle_count(
     import json as _json
     with open(marker) as fh:
         return int(_json.load(fh)["triangles"])
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    doc_delta_dir: str,
+    state_dir: str,
+    group_col: str = "lang",
+    value_col: str = "text",
+    p: int = 9,
+    seed: int = 42,
+    schema: str = "doc_id long, text string, lang string",
+) -> DataFrame:
+    """Maintain per-group approx-distinct registers over a continuously
+    growing corpus: ``readStream`` over a document drop zone → per
+    micro-batch, sketch the batch and max-merge it into the persisted
+    register store (operators/sketches.py module doc — the merge IS the
+    associative HLL union, so the store is a sufficient summary of every
+    value ever seen; batch-equivalence is exact, not approximate-on-top-
+    of-approximate).
+
+    State = ``state_dir/regs-{0,1}`` alternating parquet slots + a
+    ``_latest`` marker (the same resume contract as the pagerank/wcc
+    maintainers); the store is at most groups·2^p rows regardless of
+    corpus size. Returns the final (group, reg, rho) registers —
+    feed to :func:`~...sketches.hll_estimate` for counts.
+    """
+    import json
+
+    from graph_data_science_spark.operators.sketches import (
+        hll_merge, hll_registers)
+
+    marker = os.path.join(state_dir, "_latest")
+
+    def _slot(i: int) -> str:
+        return os.path.join(state_dir, f"regs-{i % 2}")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        fresh = hll_registers(batch, group_col, value_col, p, seed)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                prev_slot = json.load(fh)["slot"]
+            prev = spark.read.parquet(_slot(prev_slot))
+            merged = hll_merge(prev, fresh)
+            next_slot = prev_slot + 1
+        else:
+            merged = fresh
+            next_slot = 0
+        merged.write.mode("overwrite").parquet(_slot(next_slot))
+        with open(marker, "w") as fh:
+            json.dump({"slot": next_slot, "batch_id": int(batch_id)}, fh)
+
+    q = (spark.readStream.schema(schema).parquet(doc_delta_dir)
+         .writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    with open(marker) as fh:
+        slot = json.load(fh)["slot"]
+    return spark.read.parquet(_slot(slot))

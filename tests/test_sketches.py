@@ -104,3 +104,31 @@ def test_quantile_median_near_exact(spark, docs):
             F.expr("percentile(n_chars, 0.5)").alias("md")).collect():
         est = qtl[r["lang"]]
         assert est / 2 <= r["md"] <= est * 2, (r["lang"], est, r["md"])
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path, docs):
+    """Drain two drops of documents through the streaming maintainer: the
+    persisted register store must equal the one-pass batch sketch of the
+    union EXACTLY (HLL union is associative, not approximate-on-top)."""
+    import os
+
+    from graph_data_science_spark.streaming.ingest import run_streaming_hll
+
+    drop = os.path.join(str(tmp_path), "hll_drop")
+    state = os.path.join(str(tmp_path), "hll_state")
+    half1 = docs.where("doc_id % 2 = 0").select("doc_id", "text", "lang")
+    half2 = docs.where("doc_id % 2 = 1").select("doc_id", "text", "lang")
+
+    half1.write.mode("append").parquet(drop)
+    s1 = {(r["group"], r["reg"]): r["rho"]
+          for r in run_streaming_hll(spark, drop, state).collect()}
+    want1 = {(r["group"], r["reg"]): r["rho"]
+             for r in hll_registers(half1, "lang", "text").collect()}
+    assert s1 == want1
+
+    half2.write.mode("append").parquet(drop)
+    s2 = {(r["group"], r["reg"]): r["rho"]
+          for r in run_streaming_hll(spark, drop, state).collect()}
+    want = {(r["group"], r["reg"]): r["rho"]
+            for r in hll_registers(docs, "lang", "text").collect()}
+    assert s2 == want
