@@ -192,8 +192,11 @@ def pq_topk(
            .agg(F.round(F.sum((F.col("val") - F.col("cval"))
                               * (F.col("val") - F.col("cval"))), 6)
                 .alias("td")))
-    codes = pq_encode(vecs, model, id_col, vec_col).select(
-        "vec_id", F.posexplode("codes").alias("sub", "cluster"))
+    # _assign's long format IS the ADC join shape — going through
+    # pq_encode's codes array would add a collect_list shuffle + explode
+    pts, _ = _long_points(vecs, model.m, id_col, vec_col)
+    codes = _assign(pts, model.codebook) \
+        .select(F.col("id").alias("vec_id"), "sub", "cluster")
     ad = (codes.join(F.broadcast(tbl), ["sub", "cluster"])
           .groupBy("query_id", "vec_id")
           .agg(F.round(F.sum("td"), 6).alias("adist")))
