@@ -1485,6 +1485,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         v, _pq_model(s, d), queries=v.where("vec_id < 3"), k_neighbors=5))(
         s.read.parquet(f"{d}/embeddings.parquet"))
 
+    # rows-only (IVF+PQ composition; its pieces — kmeans, pq_codes,
+    # pq_topk — are each fully oracled, and the full-probe case is
+    # pytest-pinned EQUAL to the oracled pq_topk ranking)
+    from graph_data_science_spark.operators.pq import ivfpq_topk
+
+    q["ivfpq_topk"] = lambda s, d: (lambda v: ivfpq_topk(
+        v, _pq_model(s, d), queries=v.where("vec_id < 3"), k_neighbors=5,
+        n_lists=8, n_probe=3, rerank_factor=4))(
+        s.read.parquet(f"{d}/embeddings.parquet"))
+
     q["kmeans"] = lambda s, d: kmeans(
         s.read.parquet(f"{d}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),

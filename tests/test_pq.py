@@ -138,3 +138,49 @@ def test_undersized_training_set_raises(vecs):
 def test_empty_vector_table_raises(spark, vecs):
     with pytest.raises(ValueError, match="empty"):
         pq_train(vecs.where("vec_id < 0"), m=2, k=4, max_iterations=1)
+
+
+def test_ivfpq_full_probe_equals_plain_adc(vecs, model):
+    """With n_probe == n_lists every list is scanned, so IVFPQ must reduce
+    exactly to the plain ADC ranking (same shortlist, same distances)."""
+    from graph_data_science_spark.operators.pq import ivfpq_topk
+
+    qs = vecs.where("vec_id < 5")
+    full = {(r["query_id"], r["vec_id"]): r["adist"] for r in
+            ivfpq_topk(vecs, model, qs, 5, n_lists=8, n_probe=8).collect()}
+    plain = {(r["query_id"], r["vec_id"]): r["adist"] for r in
+             pq_topk(vecs, model, queries=qs, k_neighbors=5).collect()}
+    assert full == plain
+
+
+def test_ivfpq_scan_restricted_to_probed_lists(spark, vecs, model):
+    from graph_data_science_spark.operators.clustering import kmeans
+    from graph_data_science_spark.operators.pq import ivfpq_topk
+
+    qs = vecs.where("vec_id < 5")
+    out = ivfpq_topk(vecs, model, qs, 10, n_lists=16, n_probe=2).collect()
+    # recompute the coarse lists + probe sets independently
+    coarse = kmeans(vecs, k=16)
+    lists = {r["id"]: r["cluster"] for r in coarse.assignment.collect()}
+    import numpy as np
+    cents = {}
+    for r in coarse.centroids.collect():
+        cents.setdefault(r["cluster"], {})[r["dim"]] = r["cval"]
+    pdf = vecs.toPandas()
+    X = {int(v): np.asarray(e, dtype=float)
+         for v, e in zip(pdf["vec_id"], pdf["embedding"])}
+    for r in out:
+        qv = X[r["query_id"]]
+        d = sorted((sum((qv[d_] - cv) ** 2 for d_, cv in dims.items()), c)
+                   for c, dims in cents.items())
+        probed = {c for _, c in d[:2]}
+        assert lists[r["vec_id"]] in probed, r
+
+
+def test_ivfpq_rerank_recall(vecs, model):
+    from graph_data_science_spark.operators.pq import ivfpq_topk
+
+    qs = vecs.where("vec_id < 10")
+    rr = _recall_at_10(vecs, ivfpq_topk(
+        vecs, model, qs, 10, n_lists=16, n_probe=4, rerank_factor=10))
+    assert rr >= 0.5, rr
