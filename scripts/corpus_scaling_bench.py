@@ -23,7 +23,17 @@ import sys
 from _common import REPO, clean_env, last_json, run_cmd
 
 INPUT = "/tmp/gds_corpus_scaling/docs.parquet"
-GEN_GC = "-XX:+UseParallelGC"
+
+# The corpus ops are allocation-heavy (string md5 per shingle-hash), so GC
+# is a large work fraction — and ParallelGC defaults its thread pool to the
+# HOST's 32 cores at BOTH parallelism levels, handing the 2-slot run ~20
+# free cores of collection and deflating measured efficiency (the inverse
+# of the round-2 lazy-heap artifact). A real N-core executor collects with
+# N-proportional threads, so the faithful proxy pins ParallelGCThreads to
+# the level's core count; the pre-touched fixed heap mirrors SCALE_GC in
+# scaling_bench.py.
+GEN_GC = ("-XX:+UseParallelGC -Xms24g -XX:+AlwaysPreTouch"
+          " -XX:ParallelGCThreads={cpus}")
 
 
 def generate(n_docs: int) -> None:
@@ -63,7 +73,7 @@ def generate(n_docs: int) -> None:
 def run_level(cpus: int) -> dict:
     env = clean_env(SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_PARTS=32)
     env.setdefault("SPARK_DRIVER_MEMORY", "24g")
-    env.setdefault("SPARK_GRAFT_GC", GEN_GC)
+    env.setdefault("SPARK_GRAFT_GC", GEN_GC.format(cpus=cpus))
     return last_json(run_cmd(
         [sys.executable,
          os.path.join(REPO, "scripts", "corpus_scale_job.py"), INPUT],

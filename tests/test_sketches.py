@@ -132,3 +132,14 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path, docs):
     want = {(r["group"], r["reg"]): r["rho"]
             for r in hll_registers(docs, "lang", "text").collect()}
     assert s2 == want
+
+
+def test_hll_large_p_float_path(spark, docs):
+    # p outside [8,9] takes the float-sum estimator branch; accuracy must
+    # still hold (p=12 → SE 1.6%, allow 3σ ≈ 5%)
+    est = {r["group"]: r["approx_distinct"]
+           for r in hll_distinct(docs, "lang", "text", p=12).collect()}
+    exact = {r["lang"]: r["d"] for r in docs.groupBy("lang").agg(
+        F.countDistinct("text").alias("d")).collect()}
+    for g, d in exact.items():
+        assert abs(est[g] - d) / d <= 3 * 1.04 / math.sqrt(4096), (g, est[g], d)
