@@ -58,12 +58,17 @@ class PQModel:
 
 
 def _long_points(vecs: DataFrame, m: int, id_col: str,
-                 vec_col: str) -> tuple[DataFrame, int]:
-    """(id, sub, sdim, val) long format; returns (df, sub_dim)."""
-    head = vecs.select(vec_col).first()
-    if head is None:
-        raise ValueError("empty vector table")
-    d = len(head[0])
+                 vec_col: str, dim: int | None = None) -> tuple[DataFrame, int]:
+    """(id, sub, sdim, val) long format; returns (df, sub_dim). ``dim``
+    skips the probe job when the caller already knows it (every
+    post-training path does: d = model.m * model.sub_dim)."""
+    if dim is not None:
+        d = int(dim)
+    else:
+        head = vecs.select(vec_col).first()
+        if head is None:
+            raise ValueError("empty vector table")
+        d = len(head[0])
     if d % m != 0:
         raise ValueError(f"m={m} must divide embedding dim {d}")
     ds = d // m
@@ -159,7 +164,8 @@ def pq_encode(
     Returns ``(vec_id, codes array<long>)`` ordered by subspace, or with
     ``flat=True`` one ``code_{j}`` column per subspace (fixed schema for
     hashing oracles)."""
-    pts, _ = _long_points(vecs, model.m, id_col, vec_col)
+    pts, _ = _long_points(vecs, model.m, id_col, vec_col,
+                          dim=model.m * model.sub_dim)
     asg = _assign(pts, model.codebook)
     if flat:
         aggs = [F.max(F.when(F.col("sub") == j, F.col("cluster")))
@@ -174,18 +180,25 @@ def pq_encode(
 def pq_topk(
     vecs: DataFrame,
     model: PQModel,
-    queries: DataFrame | None = None,
+    queries: DataFrame,
     k_neighbors: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k: (query_id, vec_id, adist), the ``k_neighbors`` smallest
-    approximate distances per query (ties → smaller vec_id). ``queries``
-    defaults to ``vecs`` itself (self-join ANN); pass a small DataFrame
-    with the same (id, vector) columns for query-set search."""
+    approximate distances per query (ties → smaller vec_id).
+
+    ``queries`` is REQUIRED and must be a bounded query set: the ADC
+    table is Q·m·k rows and is broadcast — a corpus-sized Q (self-join
+    ANN) would broadcast a corpus-sized table, which is exactly the plan
+    shape PQ exists to avoid (use the LSH/near-duplicate kernels for
+    all-pairs questions)."""
     if queries is None:
-        queries = vecs
-    qpts, _ = _long_points(queries, model.m, id_col, vec_col)
+        raise ValueError(
+            "pq_topk requires an explicit bounded query set (the ADC "
+            "table broadcasts Q·m·k rows)")
+    d = model.m * model.sub_dim
+    qpts, _ = _long_points(queries, model.m, id_col, vec_col, dim=d)
     # per-query distance table: Q·m·k rows — broadcast
     tbl = (qpts.join(F.broadcast(model.codebook), ["sub", "sdim"])
            .groupBy(F.col("id").alias("query_id"), "sub", "cluster")
@@ -194,7 +207,7 @@ def pq_topk(
                 .alias("td")))
     # _assign's long format IS the ADC join shape — going through
     # pq_encode's codes array would add a collect_list shuffle + explode
-    pts, _ = _long_points(vecs, model.m, id_col, vec_col)
+    pts, _ = _long_points(vecs, model.m, id_col, vec_col, dim=d)
     codes = _assign(pts, model.codebook) \
         .select(F.col("id").alias("vec_id"), "sub", "cluster")
     ad = (codes.join(F.broadcast(tbl), ["sub", "cluster"])
@@ -217,6 +230,9 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    lists: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ — the standard billion-vector serving layout (Jégou et
     al. 2011 "IVFADC"): a coarse k-means quantizer assigns every vector to
@@ -224,6 +240,16 @@ def ivfpq_topk(
     nearest lists and runs ADC there. Scan volume drops to ~n_probe/n_lists
     of the corpus — the piece plain ADC lacks at 10^9 vectors, where even
     an m-byte-per-vector linear scan is the bottleneck.
+
+    Index-vs-query split (the part that makes the reduction REAL): the
+    inverted lists and PQ codes are INDEX artifacts, built once offline —
+    pass them as ``lists`` (vec_id, list), ``centroids`` (list, dim, cval:
+    a ``kmeans(...)`` result pair) and ``codes`` (vec_id, sub, cluster:
+    ``pq_encode`` in long form, or the `_assign` output). When omitted
+    (small data / tests) they are built inline, and the inline encode is
+    restricted to the PROBED vectors first — a broadcast semi-join on the
+    probe set runs BELOW the assignment aggregation, so even the inline
+    path never encodes the unprobed corpus.
 
     Simplification vs the reference paper (documented): codes quantize the
     RAW vectors, not the coarse residuals — residual codebooks buy recall,
@@ -233,17 +259,21 @@ def ivfpq_topk(
     (:func:`pq_topk_rerank` semantics) and the output column is the exact
     ``dist``; otherwise the approximate ``adist``.
 
-    Plan shape: the coarse centroid table (n_lists rows) and per-query
-    probe set (Q·n_probe rows) broadcast; the corpus-side scan is one
-    broadcast semi-join on ``list`` before the ADC join — Catalyst prunes
-    everything else."""
-    from graph_data_science_spark.operators.clustering import kmeans
+    Coarse probe distances are ROUND(·,6) like every other reduction in
+    this module, so the probe set is aggregation-order independent."""
+    d = model.m * model.sub_dim
+    if (lists is None) != (centroids is None):
+        raise ValueError("pass lists and centroids together "
+                         "(both halves of the kmeans index)")
+    if lists is None:
+        from graph_data_science_spark.operators.clustering import kmeans
 
-    coarse = kmeans(vecs, k=int(n_lists), id_col=id_col, vec_col=vec_col,
-                    seed=seed)
-    lists = coarse.assignment.select(
-        F.col("id").alias("vec_id"), F.col("cluster").alias("list"))
-    cents = coarse.centroids.select(
+        coarse = kmeans(vecs, k=int(n_lists), id_col=id_col,
+                        vec_col=vec_col, seed=seed)
+        lists = coarse.assignment.select(
+            F.col("id").alias("vec_id"), F.col("cluster").alias("list"))
+        centroids = coarse.centroids
+    cents = centroids.select(
         F.col("cluster").alias("list"), "dim", F.col("cval"))
 
     # per-query probe set: n_probe nearest coarse centroids
@@ -253,23 +283,37 @@ def ivfpq_topk(
         .alias("dim", "val"))
     qd = (qpts_full.join(F.broadcast(cents), "dim")
           .groupBy("query_id", "list")
-          .agg(F.sum((F.col("val") - F.col("cval"))
-                     * (F.col("val") - F.col("cval"))).alias("d")))
+          .agg(F.round(F.sum((F.col("val") - F.col("cval"))
+                             * (F.col("val") - F.col("cval"))), 6)
+               .alias("d")))
     wp = Window.partitionBy("query_id").orderBy("d", "list")
     probes = (qd.withColumn("_rn", F.row_number().over(wp))
               .where(F.col("_rn") <= int(n_probe))
               .select("query_id", "list"))
 
     # ADC restricted to the probed lists
-    qpts, _ = _long_points(queries, model.m, id_col, vec_col)
+    qpts, _ = _long_points(queries, model.m, id_col, vec_col, dim=d)
     tbl = (qpts.join(F.broadcast(model.codebook), ["sub", "sdim"])
            .groupBy(F.col("id").alias("query_id"), "sub", "cluster")
            .agg(F.round(F.sum((F.col("val") - F.col("cval"))
                               * (F.col("val") - F.col("cval"))), 6)
                 .alias("td")))
-    pts, _ = _long_points(vecs, model.m, id_col, vec_col)
-    codes = _assign(pts, model.codebook) \
-        .select(F.col("id").alias("vec_id"), "sub", "cluster")
+    # probed vectors = members of any probed list. The PROBE list-id set
+    # (≤ Q·n_probe values) broadcasts; the resulting id set is a corpus
+    # FRACTION — never broadcast it, restrict via shuffle semi-joins
+    probed_ids = (lists.join(
+        F.broadcast(probes.select("list").distinct()), "list", "left_semi")
+        .select("vec_id"))
+    if codes is None:
+        # inline encode of the PROBED vectors only: the semi-join runs
+        # below the assignment aggregation, never over the full corpus
+        sub = vecs.join(probed_ids.withColumnRenamed("vec_id", id_col),
+                        id_col, "left_semi")
+        pts, _ = _long_points(sub, model.m, id_col, vec_col, dim=d)
+        codes = _assign(pts, model.codebook) \
+            .select(F.col("id").alias("vec_id"), "sub", "cluster")
+    else:
+        codes = codes.join(probed_ids, "vec_id", "left_semi")
     scan = (codes.join(lists, "vec_id")
             .join(F.broadcast(probes), "list"))
     ad = (scan.join(F.broadcast(tbl), ["query_id", "sub", "cluster"])

@@ -98,16 +98,14 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
     denominator is aggregation-order independent there."""
     m = 1 << p
     a = _alpha(m)
+    scale_bits, scale = 53, float(1 << 53)
+    term = F.pow(F.lit(2.0), F.lit(scale_bits) - F.col("rho"))
     if 8 <= p <= 9:
         # exact-integer denominator: rho ≤ 61−p ≤ 53, so 2^(53−rho) is an
         # int ≥ 1 and the total Σ + V·2^53 ≤ m·2^53 ≤ 2^62 — no overflow,
-        # no float-sum order dependence
-        scale_bits, scale = 53, float(1 << 53)
-        term = F.pow(F.lit(2.0), F.lit(scale_bits) - F.col("rho")) \
-            .cast("long")
-    else:
-        scale_bits, scale = 53, float(1 << 53)
-        term = F.pow(F.lit(2.0), F.lit(scale_bits) - F.col("rho"))
+        # no float-sum order dependence. Other p keep the float sum of
+        # the same exact powers (order-dependent at ulp level only).
+        term = term.cast("long")
     agg = registers.groupBy("group").agg(
         F.sum(term).alias("_s"), F.count(F.lit(1)).alias("_nz"))
     v = F.lit(m) - F.col("_nz")                        # zero registers

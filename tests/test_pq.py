@@ -184,3 +184,29 @@ def test_ivfpq_rerank_recall(vecs, model):
     rr = _recall_at_10(vecs, ivfpq_topk(
         vecs, model, qs, 10, n_lists=16, n_probe=4, rerank_factor=10))
     assert rr >= 0.5, rr
+
+
+def test_ivfpq_precomputed_index_matches_inline(spark, vecs, model):
+    """The serving mode: inverted lists + codes built once offline must
+    give the same answer as the inline path."""
+    from graph_data_science_spark.operators.clustering import kmeans
+    from graph_data_science_spark.operators.pq import ivfpq_topk
+
+    qs = vecs.where("vec_id < 3")
+    inline = {(r["query_id"], r["vec_id"], r["adist"]) for r in
+              ivfpq_topk(vecs, model, qs, 5, n_lists=8,
+                         n_probe=3).collect()}
+    coarse = kmeans(vecs, k=8)
+    lists = coarse.assignment.select(
+        F.col("id").alias("vec_id"), F.col("cluster").alias("list"))
+    codes = pq_encode(vecs, model).select(
+        "vec_id", F.posexplode("codes").alias("sub", "cluster"))
+    pre = {(r["query_id"], r["vec_id"], r["adist"]) for r in
+           ivfpq_topk(vecs, model, qs, 5, n_probe=3, lists=lists,
+                      centroids=coarse.centroids, codes=codes).collect()}
+    assert inline == pre
+
+
+def test_pq_topk_requires_query_set(vecs, model):
+    with pytest.raises(ValueError, match="bounded query set"):
+        pq_topk(vecs, model, None)
