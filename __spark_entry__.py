@@ -1707,6 +1707,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["regex_redact"] = lambda s, d: regex_redact(_docs(s, d))
     q["shuffle_shards"] = lambda s, d: shuffle_shards(_docs(s, d), n_shards=8)
+    from graph_data_science_spark.operators.pipeline_ops import (
+        prepare_training_data)
+
+    # rows-only composition of four individually-oracled stages (quality
+    # filter -> near_duplicate_keep -> decontaminate -> pack + shuffle
+    # order); sits outside the 50-slot cap like ivfpq_topk, determinism
+    # pytest-pinned
+    q["prepare_training_data"] = lambda s, d: prepare_training_data(
+        s.read.parquet(f"{d}/documents.parquet"))[0]
+
     q["token_budget_sample"] = lambda s, d: token_budget_sample(
         _docs(s, d), budget_tokens=5000, n_buckets=16)
 

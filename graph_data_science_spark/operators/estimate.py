@@ -585,6 +585,7 @@ ESTIMATOR_FOR_QUERY = {
     "random_walks": "random_walks", "random_walks_biased": "random_walks",
     "kmeans": "kmeans", "pq_codes": "pq", "pq_topk": "pq",
     "ivfpq_topk": "pq",
+    "prepare_training_data": "near_dup_clusters",
     "hll_registers_lang": "hll", "hll_lang_distinct": "hll",
     "nchars_quantiles": "histogram",
     "k1coloring": "k1coloring", "maxkcut": "maxkcut",

@@ -752,3 +752,64 @@ def token_budget_sample(
         "doc_id", "n_tokens",
         (pre < int(budget_tokens)).alias("kept"),
     )
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    quality_threshold: float = 0.5,
+    max_tokens: int = 64,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """The composed corpus journey — what a user of this engine actually
+    runs end-to-end: quality filter → fuzzy dedup (keep the best cluster
+    member) → benchmark decontamination → pack into fixed-length training
+    sequences → deterministic shuffle-shard the sequences.
+
+    Returns ``(sequences, manifest)``: ``sequences`` =
+    ``(doc_id, shard, seq_in_shard, n_tokens, order_shard, order_pos)``
+    rows for every surviving document's packed placement plus its position
+    in the reproducible global training order; ``manifest`` = per-stage
+    survivor counts (``input → quality → dedup → decontaminated``), the
+    numbers every pipeline run reports.
+
+    Composition only — every stage is one of the individually-tested,
+    individually-oracled operators; the manifest counts ride
+    ``Observation``-free aggregations (4 count jobs on lazily-chained
+    filters, each a pushed-down scan of the previous stage's plan). The
+    chain never materializes an intermediate corpus: filters compose into
+    one Catalyst plan, so at 100 TB this is two scans of the corpus
+    (dedup's shingle pass + the packer) plus the tiny decontamination
+    broadcast."""
+    from graph_data_science_spark.operators.text import quality_score
+
+    manifest = {"input": docs.count()}
+
+    q = quality_score(docs, text_col).where(
+        F.col("quality") >= float(quality_threshold)).select("doc_id")
+    stage1 = docs.join(q, docs[id_col] == q["doc_id"], "left_semi")
+    manifest["quality"] = stage1.count()
+
+    kept = near_duplicate_keep(stage1, text_col=text_col, id_col=id_col) \
+        .where(F.col("kept")).select("doc_id")
+    stage2 = stage1.join(kept, stage1[id_col] == kept["doc_id"],
+                         "left_semi")
+    manifest["dedup"] = stage2.count()
+
+    clean = decontaminate(stage2, text_col=text_col, id_col=id_col) \
+        .where(~F.col("contaminated")).select("doc_id")
+    stage3 = stage2.join(clean, stage2[id_col] == clean["doc_id"],
+                         "left_semi")
+    manifest["decontaminated"] = stage3.count()
+
+    packed = pack_sequences(stage3, max_tokens=max_tokens,
+                            n_shards=n_shards, text_col=text_col,
+                            id_col=id_col)
+    order = shuffle_shards(stage3, n_shards=n_shards, id_col=id_col,
+                           seed=seed).select(
+        "doc_id", F.col("shard").alias("order_shard"),
+        F.col("pos").alias("order_pos"))
+    out = packed.join(order, "doc_id")
+    return out, manifest

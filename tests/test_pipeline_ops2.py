@@ -125,3 +125,37 @@ def test_near_duplicate_keep_longest(spark):
     assert got[1]["kept"]             # longest, lowest id on the tie
     assert not got[2]["kept"]
     assert got[3]["kept"]             # singleton keeps itself
+
+
+def test_prepare_training_data_composition(spark):
+    from graph_data_science_spark.operators.pipeline_ops import (
+        decontaminate, near_duplicate_keep, prepare_training_data)
+    from graph_data_science_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").localCheckpoint()
+    seqs, manifest = prepare_training_data(docs, quality_threshold=0.5)
+    rows = seqs.collect()
+
+    # manifest is a monotone funnel starting at the corpus size
+    assert manifest["input"] == docs.count()
+    assert (manifest["input"] >= manifest["quality"]
+            >= manifest["dedup"] >= manifest["decontaminated"] > 0)
+    # one row per (doc, sequence) PLACEMENT — a doc straddling sequence
+    # boundaries emits several; distinct docs = the funnel's survivors
+    assert len({r["doc_id"] for r in rows}) == manifest["decontaminated"]
+
+    # every emitted doc individually passes each stage's own operator
+    ids = {r["doc_id"] for r in rows}
+    ok_q = {r["doc_id"] for r in quality_score(docs).where(
+        "quality >= 0.5").collect()}
+    assert ids <= ok_q
+    surv1 = docs.join(spark.createDataFrame(
+        [(i,) for i in sorted(ok_q)], "doc_id long"), "doc_id", "left_semi")
+    kept = {r["doc_id"] for r in near_duplicate_keep(surv1).where(
+        "kept").collect()}
+    assert ids <= kept
+    # deterministic: second run identical
+    seqs2, manifest2 = prepare_training_data(docs, quality_threshold=0.5)
+    assert manifest2 == manifest
+    assert {tuple(r) for r in seqs2.collect()} == {tuple(r) for r in rows}
