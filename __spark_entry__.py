@@ -1699,6 +1699,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk"] = lambda s, d: bm25_topk(
         _docs(s, d), query_terms=["spark", "window", "merge"], top_k=10)
 
+    # round-3 session-8 additions: exact-substring dedup at k-token shingle
+    # granularity (Lee et al. 2022 without the suffix array) — maximal
+    # duplicated spans + keep-corpus-first removal, both fully oracled
+    from graph_data_science_spark.operators.dedup import (
+        duplicate_spans, remove_duplicate_spans)
+
+    q["duplicate_spans"] = lambda s, d: duplicate_spans(_docs(s, d), k=8)
+    q["remove_duplicate_spans"] = lambda s, d: remove_duplicate_spans(
+        _docs(s, d), k=8)
+
     # round-3 session-5 additions: PII redaction (the action half of
     # regex_scan), deterministic shuffle-shards training-order writer, and
     # two-level-prefix-sum token-budget sampling — all fully oracled
@@ -1856,17 +1866,25 @@ _GATE_FIRST = [
     "simhash", "embedding_cosine_topk",
     # new or kernel-changed in round 3 (kmeans: seeded-sample init;
     # ivf: seeded-sample centroids)
-    "astar", "dag_longest_path", "knn_embeddings", "embedding_near_duplicates",
-    "kmeans", "embedding_cosine_topk_ivf",
+    "astar", "dag_longest_path", "embedding_near_duplicates",
+    "kmeans",
+    # session-8: exact-substring dedup (duplicate spans), fully oracled —
+    # takes the slots of the rows-only knn_embeddings /
+    # embedding_cosine_topk_ivf (run-without-error is all a hash gate can
+    # prove for those; pytest recall/equality tests already prove more)
+    "duplicate_spans", "remove_duplicate_spans",
     # round-3 corpus-pipeline additions (all fully oracled)
     "near_duplicate_clusters", "corpus_vocabulary", "tfidf_top_terms",
     "decontaminate", "hash_split",
     # round-3 batch 2: sequence packing, corpus mixing, PII/blocklist scan,
     # one-hot encoding function (OneHotEncodingFunc parity)
     "pack_sequences", "stratified_sample", "regex_scan", "one_hot_lang",
-    # round-3 batch 2: hashing-trick featurizer (oracled) + learned quality
-    # filter (rows-only: model training is not SQL-expressible)
-    "hashed_features", "quality_classifier_scores",
+    # round-3 batch 2: hashing-trick featurizer (oracled). Its sibling
+    # quality_classifier_scores is rows-only (model training is not
+    # SQL-expressible) — a gate slot buys only run-without-error there,
+    # which pytest already proves, so the slot goes to a value-hashed
+    # entry instead (see embedding_lsh_buckets below)
+    "hashed_features",
     # round-3 parity addition (canonical deterministic order over dag_levels)
     "dag_topological_sort",
     # round-3 addition: bucketed delta-stepping SSSP (new kernel)
@@ -1879,9 +1897,11 @@ _GATE_FIRST = [
     # round-3 addition: GDS *.stats execution-mode distributions
     "pagerank_stats", "wcc_stats",
     # round-3 additions: function surface (gds.similarity.* /
-    # gds.alpha.linkprediction.* / splitRelationships) + SLLPA (rows-only)
+    # gds.alpha.linkprediction.* / splitRelationships). SLLPA is rows-only
+    # (randomized in the reference) — its gate slot goes to the fully
+    # oracled near_duplicate_keep (see below); pytest still runs sllpa
     "similarity_functions_vec", "similarity_functions_set",
-    "link_prediction", "split_relationships", "sllpa",
+    "link_prediction", "split_relationships",
     # round-3 session-4 kernel changes: hits (parquet-scratch truncation),
     # k_core (LoopState retire-previous + single-action rounds)
     "hits", "k_core_3",
@@ -1912,6 +1932,15 @@ _GATE_FIRST = [
     # counts + log2-histogram quantiles), fully oracled — gate on first
     # exposure
     "hll_registers_lang", "hll_lang_distinct", "nchars_quantiles",
+    # round-3 session-8 gate strengthening: the last two fully-oracled
+    # entries that had never been driver-gated, taking the slots freed by
+    # the rows-only sllpa / quality_classifier_scores (which a hash gate
+    # cannot check beyond run-without-error — pytest already does that).
+    # embedding_lsh_buckets value-hashes the exact-integer signature
+    # kernel directly (stronger than riding embedding_lsh_pairs);
+    # near_duplicate_keep is the session-6 keep-policy election over the
+    # LSH pair graph
+    "embedding_lsh_buckets", "near_duplicate_keep",
 ]
 _GATE_LAST = [
     # displaced by the session-7 gates (louvain local-finish pair, product
@@ -1990,10 +2019,8 @@ _GATE_LAST = [
     # displaced for the session-5 gates (segment_dedup / bm25_topk): bfs was
     # r02-gated green and paths.py is untouched since session 3, whose
     # relaxation-kernel changes are exercised by the gated sssp_delta /
-    # dag_topological_sort; embedding_lsh_buckets' kernel runs inside the
-    # gated embedding_lsh_pairs (pairs = buckets + verify join). Both remain
-    # pytest-oracled every run.
-    "bfs", "embedding_lsh_buckets",
+    # dag_topological_sort. Remains pytest-oracled every run.
+    "bfs",
     # displaced for the session-6 gates (regex_redact / shuffle_shards /
     # token_budget_sample): session 6's engine change (strip_origin_stats
     # on in-memory truncation) has a gated representative for each of its
@@ -2011,11 +2038,14 @@ _GATE_LAST = [
     # node2vec-only) and its _Scratch truncation substrate is gated via
     # louvain. Both remain pytest-oracled every run.
     "scc", "fastrp",
-    # new in session 6 but intentionally OUTSIDE the cap: composes the
-    # GATED near_duplicate_clusters (same pair graph + unrolled WCC) with
-    # one argmax agg; fully oracled, so the sf0.001 pytest oracle runs it
-    # every suite run and scripts/run_ungated.py runs it at gate scale
-    "near_duplicate_keep",
+    # rows-only entries rotated out of the cap in session 8 (their slots
+    # went to the fully-oracled embedding_lsh_buckets / near_duplicate_keep
+    # / duplicate_spans / remove_duplicate_spans, now in _GATE_FIRST): a
+    # hash gate can only prove run-without-error for rows-only entries,
+    # which pytest already does every suite run — knn's NN-descent recall
+    # bound and ivf's equality-to-exact case are pytest-pinned directly
+    "sllpa", "quality_classifier_scores",
+    "knn_embeddings", "embedding_cosine_topk_ivf",
 ]
 
 
@@ -2494,6 +2524,67 @@ tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS segs_total
 SELECT t.doc_id, COALESCE(ka.kept_text, '') AS kept_text, t.segs_total,
        COALESCE(ka.segs_kept, 0) AS segs_kept
 FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id"""
+
+    # duplicate_spans / remove_duplicate_spans: exact-substring dedup at
+    # k=8-token shingle granularity. The oracle groups on the shingle TEXT
+    # where Spark groups on md5(shingle) — identical grouping semantics,
+    # engine-independent values. Islands rule: positions p, p' merge iff
+    # p' <= p + k; keeper = corpus-first (doc_id, pos), expressed here as
+    # ROW_NUMBER() = 1 (the segment_dedup keeper idiom).
+    _span_p = f"""
+w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[(i+1):(i+8)], ' ') AS sh
+      FROM (SELECT doc_id, ws FROM w WHERE len(ws) >= 8) AS wf,
+           UNNEST(range(0, len(ws) - 8 + 1)) AS r(i))"""
+    o["duplicate_spans"] = f"""
+WITH {_span_p},
+hot AS (SELECT sh FROM p GROUP BY sh HAVING COUNT(*) >= 2),
+d AS (SELECT doc_id, pos FROM p JOIN hot USING (sh)),
+b AS (SELECT doc_id, pos,
+             CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+s AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM b)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + 7 AS INT) AS span_end,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS INT) AS span_tokens
+FROM s GROUP BY doc_id, isl"""
+
+    o["remove_duplicate_spans"] = f"""
+WITH {_span_p},
+fk AS (SELECT doc_id, pos,
+              COUNT(*) OVER (PARTITION BY sh) AS c,
+              ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+       FROM p),
+d AS (SELECT doc_id, pos FROM fk WHERE c >= 2 AND rn > 1),
+b AS (SELECT doc_id, pos,
+             CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+s AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM b),
+spans AS (SELECT doc_id, MIN(pos) AS sp, MAX(pos) + 7 AS ep
+          FROM s GROUP BY doc_id, isl),
+tok AS (SELECT doc_id, CAST(i AS BIGINT) AS ti, ws[i+1] AS t
+        FROM w, UNNEST(range(0, len(ws))) AS r(i)),
+cov AS (SELECT t.doc_id, t.ti, t.t FROM tok t
+        WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                          WHERE sp.doc_id = t.doc_id
+                            AND t.ti >= sp.sp AND t.ti <= sp.ep)),
+ka AS (SELECT doc_id, string_agg(t, ' ' ORDER BY ti) AS clean_text,
+              CAST(COUNT(*) AS BIGINT) AS kept
+       FROM cov GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS tokens_total FROM w)
+SELECT tot.doc_id, COALESCE(ka.clean_text, '') AS clean_text,
+       tot.tokens_total,
+       tot.tokens_total - COALESCE(ka.kept, 0) AS tokens_removed
+FROM tot LEFT JOIN ka USING (doc_id)"""
 
     # bm25_topk: Lucene idf, k1=1.2 b=0.75, query = {{merge, spark, window}}.
     # Literal arithmetic shapes mirror the Spark expression exactly

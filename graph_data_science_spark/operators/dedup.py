@@ -423,3 +423,135 @@ def segment_dedup(docs: DataFrame, window: int = 20, text_col: str = "text",
             F.coalesce("segs_kept", F.lit(0)).cast("long").alias("segs_kept"),
         )
     )
+
+
+def _shingle_positions(docs: DataFrame, k: int, text_col: str,
+                       id_col: str) -> DataFrame:
+    """(doc_id, pos, _h): md5 of the k-token window starting at token
+    ``pos`` (0-based over the normalized token stream), one row per
+    position — NOT deduplicated, unlike :func:`_word_shingles` (span
+    detection needs every occurrence). Docs with fewer than ``k`` tokens
+    contribute nothing."""
+    ws = F.split(_norm(F.col(text_col)), " ")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), ws.alias("_ws"))
+        .where(F.size("_ws") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("_ws", i + 1, k))),
+            )).alias("pos", "_h"),
+        )
+    )
+
+
+def duplicate_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Maximal duplicated token spans → ``(doc_id, span_start, span_end,
+    span_tokens)`` — the exact-substring dedup axis (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at
+    ``k``-token shingle granularity, without the suffix array: a token
+    window is *duplicated* when its ``k``-shingle hash occurs at least
+    ``min_count`` times corpus-wide (counting every (doc, pos) occurrence,
+    within-doc repeats included), and overlapping/adjacent duplicated
+    windows in one document merge into maximal spans (positions p, p'
+    merge iff p' ≤ p + k). Completes the dedup ladder between
+    :func:`segment_dedup` (fixed-boundary exact segments) and
+    :func:`minhash_lsh_pairs` (whole-doc near-dup): it finds repeated
+    *substrings* at arbitrary offsets — license headers, boilerplate,
+    copy-pasted functions.
+
+    Scale plan (100 TB posture): shuffle rows are (16-byte hash, doc, pos)
+    — text never leaves the first projection; the hot-hash filter is a
+    partial-aggregatable count (map-side combine collapses each
+    partition's repeats); the islands merge windows by ``doc_id`` only —
+    never a global sort — and its input is just the duplicated positions,
+    a near-dup-density-sized set, not the corpus.
+    """
+    kk, mc = int(k), int(min_count)
+    from pyspark.sql.window import Window
+
+    pos = _shingle_positions(docs, kk, text_col, id_col)
+    hot = (pos.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+           .where(F.col("_c") >= mc).select("_h"))
+    dup = pos.join(hot, "_h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup
+        .withColumn("_brk", F.when(
+            F.col("pos") > F.lag("pos").over(w) + kk, 1).otherwise(0))
+        .withColumn("_isl", F.sum("_brk").over(w))
+    )
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + kk - 1).alias("_e"))
+        .select(
+            "doc_id",
+            F.col("_s").cast("int").alias("span_start"),
+            F.col("_e").cast("int").alias("span_end"),
+            (F.col("_e") - F.col("_s") + 1).cast("int").alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Cut duplicated spans, keeping the corpus-first occurrence →
+    ``(doc_id, clean_text, tokens_total, tokens_removed)``.
+
+    The exemption rule makes removal information-preserving and
+    deterministic: for each hot shingle hash the single corpus-first
+    occurrence — min ``(doc_id, pos)``, the :func:`segment_dedup`
+    keeper rule — is exempt; every other duplicated window merges into
+    spans (same islands rule as :func:`duplicate_spans`) whose tokens are
+    dropped, and the surviving tokens are reassembled in order. At least
+    one copy of every duplicated substring therefore survives somewhere
+    in the corpus.
+
+    The reassembly never explodes tokens: each doc's span list (a small
+    array) joins back to the token array and a codegen'd
+    ``filter(transform(...))`` drops covered positions — no shuffle
+    carries text except the final projection.
+    """
+    kk, mc = int(k), int(min_count)
+    from pyspark.sql.window import Window
+
+    pos = _shingle_positions(docs, kk, text_col, id_col)
+    hot = (pos.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("doc_id", "pos")).alias("_f"),
+    ).where(F.col("_c") >= mc).select("_h", "_f"))
+    dup = (pos.join(hot, "_h")
+           .where(~((F.col("doc_id") == F.col("_f.doc_id"))
+                    & (F.col("pos") == F.col("_f.pos"))))
+           .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup
+        .withColumn("_brk", F.when(
+            F.col("pos") > F.lag("pos").over(w) + kk, 1).otherwise(0))
+        .withColumn("_isl", F.sum("_brk").over(w))
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + kk - 1).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    ws = F.split(_norm(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), ws.alias("_ws"))
+    joined = base.join(spans, "doc_id", "left").withColumn(
+        "_spans", F.coalesce("_spans", F.array()))
+    indexed = F.transform(
+        F.col("_ws"), lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(indexed, lambda x: ~F.exists(
+        F.col("_spans"),
+        lambda s: (x["i"] >= s["s"]) & (x["i"] <= s["e"])))
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias(
+            "clean_text"),
+        F.size("_ws").cast("long").alias("tokens_total"),
+        (F.size("_ws") - F.size(kept)).cast("long").alias("tokens_removed"),
+    )

@@ -677,6 +677,13 @@ ESTIMATOR_FOR_QUERY = {
     # within-bucket window — per-task state is one running sum; the
     # text_scan byte shape with a single hash exchange
     "token_budget_sample": "text_scan",
+    # exact-substring dedup: position-shingle hash counts are
+    # occurrence-sized map-side-combinable aggs (shuffle rows carry a
+    # 16-byte hash + ids, never text); the islands window partitions by
+    # doc over the duplicated-position subset only — corpus_vocabulary
+    # byte shape for both the span table and the removal pass
+    "duplicate_spans": "corpus_vocabulary",
+    "remove_duplicate_spans": "corpus_vocabulary",
 }
 
 
