@@ -1709,6 +1709,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["remove_duplicate_spans"] = lambda s, d: remove_duplicate_spans(
         _docs(s, d), k=8)
 
+    # round-3 session-8 addition: CCNet-style n-gram LM quality scoring
+    # (Stupid Backoff, Brants et al. 2007) — self-trained on the documents
+    # table for the oracle; integer micro-nat aggregation makes the mean
+    # order-independent (operators/lm.py docstring)
+    from graph_data_science_spark.operators.lm import ngram_lm_score
+
+    q["lm_score"] = lambda s, d: ngram_lm_score(_docs(s, d), n=3)
+
     # round-3 session-5 additions: PII redaction (the action half of
     # regex_scan), deterministic shuffle-shards training-order writer, and
     # two-level-prefix-sum token-budget sampling — all fully oracled
@@ -1889,9 +1897,12 @@ _GATE_FIRST = [
     "dag_topological_sort",
     # round-3 addition: bucketed delta-stepping SSSP (new kernel)
     "sssp_delta",
-    # kernel changed in round 3 (γ resolution + θ refinement) — keep its
-    # rows-only check inside the gate
-    "leiden",
+    # session-8: CCNet-style Stupid-Backoff LM quality scoring, fully
+    # oracled — takes the slot of the rows-only leiden (whose γ/θ kernel
+    # change is pinned by the gamma/theta/connectivity pytest suite and
+    # run-at-gate-scale by scripts/run_ungated.py; a hash gate adds
+    # nothing beyond run-without-error for rows-only entries)
+    "lm_score",
     # round-3 addition: Gopher-style repetition filters (new kernel)
     "repetition_stats",
     # round-3 addition: GDS *.stats execution-mode distributions
@@ -2045,7 +2056,7 @@ _GATE_LAST = [
     # which pytest already does every suite run — knn's NN-descent recall
     # bound and ivf's equality-to-exact case are pytest-pinned directly
     "sllpa", "quality_classifier_scores",
-    "knn_embeddings", "embedding_cosine_topk_ivf",
+    "knn_embeddings", "embedding_cosine_topk_ivf", "leiden",
 ]
 
 
@@ -2585,6 +2596,50 @@ SELECT tot.doc_id, COALESCE(ka.clean_text, '') AS clean_text,
        tot.tokens_total,
        tot.tokens_total - COALESCE(ka.kept, 0) AS tokens_removed
 FROM tot LEFT JOIN ka USING (doc_id)"""
+
+    # lm_score: Stupid-Backoff trigram LM, self-trained. Mirrors
+    # operators/lm.py expression-for-expression: same operand order in the
+    # backoff CASE (0.4 * (CASE ... ELSE 0.4 * uni END)), same add-one
+    # unigram floor, and the same per-position integer micro-nat
+    # quantization (round(ln(S)*1e6), ties away from zero in BOTH engines)
+    # so the per-doc SUM is order-independent. BOS padding = chr(1).
+    o["lm_score"] = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+           FROM documents WHERE {_NORM} <> ''),
+pd AS (SELECT doc_id, list_concat([chr(1), chr(1)], ws) AS p, ws FROM w),
+pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i+1] AS w,
+               p[i+2] AS ctx2,
+               p[i+1] || ' ' || p[i+2] AS ctx3
+        FROM pd, UNNEST(range(0, len(ws))) AS r(i)),
+c1 AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+nt AS (SELECT SUM(c) AS n FROM c1),
+c2 AS (SELECT ctx2, w, COUNT(*) AS c FROM pos GROUP BY ctx2, w),
+t2 AS (SELECT ctx2, SUM(c) AS t FROM c2 GROUP BY ctx2),
+c3 AS (SELECT ctx3, w, COUNT(*) AS c FROM pos GROUP BY ctx3, w),
+t3 AS (SELECT ctx3, SUM(c) AS t FROM c3 GROUP BY ctx3),
+sc AS (SELECT pos.doc_id,
+              CAST(round(ln(
+                CASE WHEN c3.c IS NOT NULL
+                     THEN CAST(c3.c AS DOUBLE) / CAST(t3.t AS DOUBLE)
+                     ELSE 0.4 * (CASE WHEN c2.c IS NOT NULL
+                          THEN CAST(c2.c AS DOUBLE) / CAST(t2.t AS DOUBLE)
+                          ELSE 0.4 * ((CAST(COALESCE(c1.c, 0) AS DOUBLE)
+                                       + 1.0)
+                                      / (CAST(nt.n AS DOUBLE) + 1.0)) END)
+                END) * 1000000.0) AS BIGINT) AS m
+       FROM pos
+       LEFT JOIN c1 USING (w)
+       LEFT JOIN c2 ON c2.ctx2 = pos.ctx2 AND c2.w = pos.w
+       LEFT JOIN t2 ON t2.ctx2 = pos.ctx2
+       LEFT JOIN c3 ON c3.ctx3 = pos.ctx3 AND c3.w = pos.w
+       LEFT JOIN t3 ON t3.ctx3 = pos.ctx3
+       CROSS JOIN nt),
+agg AS (SELECT doc_id, SUM(m) AS s, CAST(COUNT(*) AS BIGINT) AS n_scored
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(agg.n_scored, 0) AS n_scored,
+       COALESCE(ROUND(CAST(agg.s AS DOUBLE) / agg.n_scored / 1000000.0, 6),
+                0.0) AS lm_score
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)"""
 
     # bm25_topk: Lucene idf, k1=1.2 b=0.75, query = {{merge, spark, window}}.
     # Literal arithmetic shapes mirror the Spark expression exactly

@@ -684,6 +684,11 @@ ESTIMATOR_FOR_QUERY = {
     # byte shape for both the span table and the removal pass
     "duplicate_spans": "corpus_vocabulary",
     "remove_duplicate_spans": "corpus_vocabulary",
+    # Stupid-Backoff LM: the count table is vocabulary-sized (Heaps' law)
+    # and built by partial-aggregatable groupBys; scoring joins the
+    # position stream against it — corpus_vocabulary byte shape for the
+    # model, one more occurrence-sized shuffle for the score join
+    "lm_score": "corpus_vocabulary",
 }
 
 

@@ -1,0 +1,158 @@
+"""n-gram language-model quality scoring (the CCNet/KenLM filter axis).
+
+CCNet (Wenzek et al. 2020) ranks web documents by the perplexity of a
+KenLM n-gram model trained on a clean reference corpus; documents far
+from the reference distribution are filtered or bucketed. This module is
+that filter re-expressed Spark-first with **Stupid Backoff** (Brants et
+al. 2007, "Large Language Models in Machine Translation") instead of
+Kneser-Ney: Stupid Backoff was designed exactly for the distributed
+count-table setting — scores are plain count ratios with a fixed backoff
+multiplier α, no discount normalization pass, so the "model" is just a
+mergeable (context, word, count) table.
+
+    S(w | ctx_n)   = c(ctx_n w) / c(ctx_n)            if c(ctx_n w) > 0
+                   = α · S(w | ctx_{n-1})             otherwise
+    S(w)           = (c(w) + 1) / (N + 1)             (add-one unigram floor,
+                                                       OOV-safe)
+
+Determinism discipline (docs/SCALE_NOTES.md §17): each position's
+ln-score is quantized to an integer micro-nat (`round(ln(S)·10⁶)`) BEFORE
+aggregation, so the per-document sum is an integer sum — identical at any
+partition count, summation order, or engine. The float ops feeding it
+(count ratios, α products, `ln`) are single IEEE expressions evaluated
+identically by Spark and DuckDB (the tfidf/bm25 oracles already pin
+`ln` cross-engine).
+
+Scale plan (100 TB posture): the count table is *vocabulary*-sized
+(Heaps' law — ~10⁷-10⁸ distinct n-grams at corpus scale, vs ~10¹¹ token
+occurrences), built with partial-aggregatable groupBys whose shuffle rows
+carry (ctx, word, cnt) — map-side combine collapses each partition's
+repeats first. Scoring joins the position stream against the count table
+on (ctx, word); at reference-corpus scale (the CCNet posture: train on a
+curated subset) the table broadcasts, otherwise it shuffle-joins — both
+linear. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: BOS padding token — one char outside any normalized token alphabet
+#: (normalization collapses whitespace; \\x01 never appears in text tokens).
+BOS = "\x01"
+
+
+def _norm(col: Column) -> Column:
+    # same normalization as dedup/tokenizer: lower + collapse whitespace
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def _positions(docs: DataFrame, n: int, text_col: str,
+               id_col: str) -> DataFrame:
+    """(doc_id, i, w, ctx2..ctxn): one row per token position with its
+    (k-1)-word contexts for k = 2..n, BOS-padded at the document start."""
+    ws = F.split(_norm(F.col(text_col)), " ")
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), ws.alias("_ws"))
+        .where(F.length(F.concat_ws("", F.col("_ws"))) > 0)
+        .withColumn("_p", F.concat(
+            F.array_repeat(F.lit(BOS), n - 1), F.col("_ws")))
+    )
+    pos = base.select(
+        "doc_id", "_p", F.posexplode("_ws").alias("i", "w"))
+    # context of order k (k-1 words): 0-based padded slice [i+n-k, i+n-2],
+    # 1-based F.slice start = i + n - k + 1
+    ctx_cols = [
+        F.concat_ws(" ", F.slice(
+            F.col("_p"), F.col("i") + (n - k + 1), k - 1)).alias(f"ctx{k}")
+        for k in range(2, n + 1)
+    ]
+    return pos.select("doc_id", "i", "w", *ctx_cols)
+
+
+def ngram_lm_counts(docs: DataFrame, n: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Train the count table → long format ``(k, ctx, word, cnt)`` for
+    k = 1..n (``ctx = ''`` at k=1). This IS the model artifact: persist it
+    once over the reference corpus, reuse it across scoring runs, merge
+    increments by summing cnt (Stupid Backoff needs no renormalization —
+    the Brants et al. distributed-LM property)."""
+    pos = _positions(docs, n, text_col, id_col)
+    parts = [
+        pos.groupBy(F.col("w").alias("word")).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(1).alias("k"), F.lit("").alias("ctx"), "word", "cnt")
+    ]
+    for k in range(2, n + 1):
+        parts.append(
+            pos.groupBy(F.col(f"ctx{k}").alias("ctx"),
+                        F.col("w").alias("word"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(k).alias("k"), "ctx", "word", "cnt"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ngram_lm_score(docs: DataFrame, counts: DataFrame | None = None,
+                   n: int = 3, alpha: float = 0.4, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Score documents against the count table → ``(doc_id, n_scored,
+    lm_score)`` where ``lm_score`` is the mean ln Stupid-Backoff score per
+    token (≤ 0; closer to 0 = more reference-like; CCNet's perplexity
+    ranking is ``exp(-lm_score)``-monotone). ``counts=None`` self-trains
+    on ``docs`` (the oracle/gate configuration); the CCNet posture passes
+    a table trained on a curated reference corpus.
+
+    Documents with no tokens score ``(0, 0.0)``. Aggregation is an
+    integer sum of per-position micro-nats — order-independent by
+    construction (module docstring)."""
+    if counts is None:
+        counts = ngram_lm_counts(docs, n=n, text_col=text_col, id_col=id_col)
+    pos = _positions(docs, n, text_col, id_col)
+
+    uni = counts.where(F.col("k") == 1).select(
+        F.col("word").alias("w"), F.col("cnt").alias("_c1"))
+    n_total = counts.where(F.col("k") == 1).agg(F.sum("cnt")).first()[0] or 0
+
+    scored = pos.join(uni, "w", "left")
+    for k in range(2, n + 1):
+        ck = counts.where(F.col("k") == k).select(
+            F.col("ctx").alias(f"ctx{k}"), F.col("word").alias("w"),
+            F.col("cnt").alias(f"_c{k}"))
+        tk = counts.where(F.col("k") == k).groupBy(
+            F.col("ctx").alias(f"ctx{k}")).agg(
+            F.sum("cnt").alias(f"_t{k}"))
+        scored = (scored
+                  .join(ck, ["w", f"ctx{k}"], "left")
+                  .join(tk, f"ctx{k}", "left"))
+
+    # Stupid Backoff, highest order first; operand order mirrored exactly
+    # in the SQL oracle (alpha * (CASE ... ELSE alpha * uni END))
+    a = float(alpha)
+    s = (F.coalesce(F.col("_c1"), F.lit(0)).cast("double") + 1.0) / (
+        float(n_total) + 1.0)
+    for k in range(2, n + 1):
+        s = F.when(
+            F.col(f"_c{k}").isNotNull(),
+            F.col(f"_c{k}").cast("double") / F.col(f"_t{k}").cast("double"),
+        ).otherwise(F.lit(a) * s)
+
+    micro = F.round(F.log(s) * F.lit(1000000.0), 0).cast("long")
+    per_doc = (scored.select("doc_id", micro.alias("_m"))
+               .groupBy("doc_id")
+               .agg(F.sum("_m").alias("_sum"),
+                    F.count(F.lit(1)).alias("n_scored")))
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        all_ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            F.coalesce(
+                F.round(F.col("_sum").cast("double")
+                        / F.col("n_scored") / 1000000.0, 6),
+                F.lit(0.0)).alias("lm_score"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""Stupid-Backoff n-gram LM scoring vs a pure-Python reference."""
+
+import math
+
+import pytest
+
+from graph_data_science_spark.operators.lm import (
+    BOS,
+    ngram_lm_counts,
+    ngram_lm_score,
+)
+
+
+def _ref_scores(train_rows, score_rows, n=3, alpha=0.4):
+    """Independent reference: same formula, dict-based."""
+    from collections import Counter
+
+    def toks(t):
+        return " ".join(t.lower().split()).split(" ") if t.strip() else []
+
+    counts = [Counter() for _ in range(n + 1)]  # counts[k]
+    for _, t in train_rows:
+        ts = toks(t)
+        p = [BOS] * (n - 1) + ts
+        for i, w in enumerate(ts):
+            counts[1][w] += 1
+            for k in range(2, n + 1):
+                ctx = " ".join(p[i + n - k: i + n - 1])
+                counts[k][(ctx, w)] += 1
+    ctx_tot = [None, None] + [Counter() for _ in range(2, n + 1)]
+    for k in range(2, n + 1):
+        for (ctx, _w), c in counts[k].items():
+            ctx_tot[k][ctx] += c
+    n_total = sum(counts[1].values())
+
+    out = {}
+    for d, t in score_rows:
+        ts = toks(t)
+        p = [BOS] * (n - 1) + ts
+        micros = []
+        for i, w in enumerate(ts):
+            s = (counts[1].get(w, 0) + 1.0) / (n_total + 1.0)
+            for k in range(2, n + 1):
+                ctx = " ".join(p[i + n - k: i + n - 1])
+                c = counts[k].get((ctx, w))
+                if c:
+                    s = c / ctx_tot[k][ctx]
+                else:
+                    s = alpha * s
+            micros.append(round(math.log(s) * 1e6))
+        if micros:
+            out[d] = (len(micros), round(sum(micros) / len(micros) / 1e6, 6))
+        else:
+            out[d] = (0, 0.0)
+    return out
+
+
+ROWS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat on the hat"),
+    (3, "a dog ran in the park"),
+    (4, "the cat sat on the mat again and again"),
+    (5, ""),
+]
+
+
+def test_self_scored_matches_reference(spark):
+    df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_scored"], r["lm_score"])
+           for r in ngram_lm_score(df).collect()}
+    assert got == _ref_scores(ROWS, ROWS)
+
+
+def test_counts_table_shape(spark):
+    df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    c = ngram_lm_counts(df, n=3)
+    rows = c.collect()
+    # unigram total == token count
+    n1 = sum(r["cnt"] for r in rows if r["k"] == 1)
+    assert n1 == sum(len(t.split()) for _, t in ROWS)
+    # every order-k context total equals order-k occurrence total
+    for k in (2, 3):
+        assert sum(r["cnt"] for r in rows if r["k"] == k) == n1
+
+
+def test_train_score_split_and_oov(spark):
+    train = spark.createDataFrame(ROWS[:4], ["doc_id", "text"])
+    score = spark.createDataFrame(
+        [(10, "the cat sat on the mat"),        # fully in-distribution
+         (11, "zz yy xx ww vv uu")],            # all OOV
+        ["doc_id", "text"])
+    counts = ngram_lm_counts(train)
+    got = {r["doc_id"]: r for r in
+           ngram_lm_score(score, counts=counts).collect()}
+    ref = _ref_scores(ROWS[:4], [(10, "the cat sat on the mat"),
+                                 (11, "zz yy xx ww vv uu")])
+    for d in (10, 11):
+        assert (got[d]["n_scored"], got[d]["lm_score"]) == ref[d]
+    # the in-distribution doc scores strictly better than the OOV doc
+    assert got[10]["lm_score"] > got[11]["lm_score"]
+
+
+def test_partitioning_invariance(spark):
+    df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    a = {r["doc_id"]: r["lm_score"]
+         for r in ngram_lm_score(df.repartition(1)).collect()}
+    b = {r["doc_id"]: r["lm_score"]
+         for r in ngram_lm_score(df.repartition(7, "doc_id")).collect()}
+    assert a == b
+
+
+def test_bigram_order(spark):
+    df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_scored"], r["lm_score"])
+           for r in ngram_lm_score(df, n=2).collect()}
+    assert got == _ref_scores(ROWS, ROWS, n=2)
+
+
+def test_empty_doc_scores_zero(spark):
+    df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_lm_score(df).collect()}
+    assert got[5]["n_scored"] == 0 and got[5]["lm_score"] == 0.0
