@@ -95,6 +95,17 @@ def ngram_lm_counts(docs: DataFrame, n: int = 3, text_col: str = "text",
     return out
 
 
+def ngram_lm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count tables (e.g. daily increments) → one count table.
+    Stupid Backoff scores are pure count ratios, so merging is an exact
+    integer sum — ``counts(A ∪ B) == merge(counts(A), counts(B))``
+    bit-for-bit (pytest-pinned), the same persisted-artifact posture as
+    ``sketches.hll_merge``."""
+    return (a.unionByName(b)
+            .groupBy("k", "ctx", "word")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
 def ngram_lm_score(docs: DataFrame, counts: DataFrame | None = None,
                    n: int = 3, alpha: float = 0.4, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

@@ -120,3 +120,17 @@ def test_empty_doc_scores_zero(spark):
     df = spark.createDataFrame(ROWS, ["doc_id", "text"])
     got = {r["doc_id"]: r for r in ngram_lm_score(df).collect()}
     assert got[5]["n_scored"] == 0 and got[5]["lm_score"] == 0.0
+
+
+def test_merge_equals_union_counts(spark):
+    from graph_data_science_spark.operators.lm import ngram_lm_merge
+
+    d1 = spark.createDataFrame(ROWS[:2], ["doc_id", "text"])
+    d2 = spark.createDataFrame(ROWS[2:], ["doc_id", "text"])
+    whole = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    merged = {(r["k"], r["ctx"], r["word"]): r["cnt"]
+              for r in ngram_lm_merge(
+                  ngram_lm_counts(d1), ngram_lm_counts(d2)).collect()}
+    direct = {(r["k"], r["ctx"], r["word"]): r["cnt"]
+              for r in ngram_lm_counts(whole).collect()}
+    assert merged == direct
