@@ -1717,6 +1717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_score"] = lambda s, d: ngram_lm_score(_docs(s, d), n=3)
 
+    def _lm_buckets(s, d):
+        from graph_data_science_spark.operators.lm import lm_perplexity_buckets
+        return lm_perplexity_buckets(_docs(s, d), n_buckets=3)
+
+    q["lm_buckets"] = _lm_buckets
+
     # round-3 session-5 additions: PII redaction (the action half of
     # regex_scan), deterministic shuffle-shards training-order writer, and
     # two-level-prefix-sum token-budget sampling — all fully oracled
@@ -1874,8 +1880,13 @@ _GATE_FIRST = [
     "simhash", "embedding_cosine_topk",
     # new or kernel-changed in round 3 (kmeans: seeded-sample init;
     # ivf: seeded-sample centroids)
-    "astar", "dag_longest_path", "embedding_near_duplicates",
+    "astar", "dag_longest_path",
     "kmeans",
+    # session-8: CCNet bucketing (exact two-level NTILE over lm_score) —
+    # takes embedding_near_duplicates' slot: that entry is a threshold
+    # variant of the SAME tiled-GEMM kernel as the gated
+    # embedding_cosine_topk, so the kernel keeps its hash gate
+    "lm_buckets",
     # session-8: exact-substring dedup (duplicate spans), fully oracled —
     # takes the slots of the rows-only knn_embeddings /
     # embedding_cosine_topk_ivf (run-without-error is all a hash gate can
@@ -2057,6 +2068,10 @@ _GATE_LAST = [
     # bound and ivf's equality-to-exact case are pytest-pinned directly
     "sllpa", "quality_classifier_scores",
     "knn_embeddings", "embedding_cosine_topk_ivf", "leiden",
+    # displaced for the session-8 lm_buckets gate: same tiled-GEMM kernel
+    # as the gated embedding_cosine_topk (threshold variant), still
+    # pytest-oracled every run and gate-green when last changed
+    "embedding_near_duplicates",
 ]
 
 
@@ -2640,6 +2655,18 @@ SELECT d.doc_id, COALESCE(agg.n_scored, 0) AS n_scored,
        COALESCE(ROUND(CAST(agg.s AS DOUBLE) / agg.n_scored / 1000000.0, 6),
                 0.0) AS lm_score
 FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)"""
+
+    # lm_buckets: CCNet head/middle/tail = exact NTILE(3) over
+    # (lm_score DESC, doc_id) on scorable docs. The Spark side computes the
+    # same assignment WITHOUT a global sort (two-level rank + integer
+    # NTILE boundary arithmetic, SCALE_NOTES §21); the oracle states the
+    # one-window semantics directly.
+    o["lm_buckets"] = (
+        "WITH lm AS (" + o["lm_score"] + ")\n"
+        "SELECT doc_id, lm_score,\n"
+        "       CAST(NTILE(3) OVER (ORDER BY lm_score DESC, doc_id) AS INT)"
+        " AS bucket\n"
+        "FROM lm WHERE n_scored > 0")
 
     # bm25_topk: Lucene idf, k1=1.2 b=0.75, query = {{merge, spark, window}}.
     # Literal arithmetic shapes mirror the Spark expression exactly

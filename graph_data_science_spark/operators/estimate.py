@@ -689,6 +689,9 @@ ESTIMATOR_FOR_QUERY = {
     # position stream against it — corpus_vocabulary byte shape for the
     # model, one more occurrence-sized shuffle for the score join
     "lm_score": "corpus_vocabulary",
+    # bucketing adds one range-bucketed row_number window over the scored
+    # table (driver state: range_buckets counters) — same byte shape
+    "lm_buckets": "corpus_vocabulary",
 }
 
 

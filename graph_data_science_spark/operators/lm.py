@@ -167,3 +167,80 @@ def ngram_lm_score(docs: DataFrame, counts: DataFrame | None = None,
                 F.lit(0.0)).alias("lm_score"),
         )
     )
+
+
+def lm_perplexity_buckets(docs: DataFrame, counts: DataFrame | None = None,
+                          n_buckets: int = 3, n: int = 3,
+                          alpha: float = 0.4, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          range_buckets: int = 64) -> DataFrame:
+    """CCNet's head/middle/tail split → ``(doc_id, lm_score, bucket)``,
+    ``bucket ∈ 1..n_buckets`` with 1 = most reference-like (lowest
+    perplexity). Exactly SQL ``NTILE(n_buckets) OVER (ORDER BY lm_score
+    DESC, doc_id)`` — equal-count buckets, the first ``n mod B`` buckets
+    one row larger — over documents with at least one scored token.
+
+    Scale plan (SCALE_NOTES §21 discipline — an ORDER BY in the semantics
+    never implies an ORDER BY in the plan): the global rank decomposes
+    two-level. The order key range-buckets by score (ties share a bucket,
+    so bucket boundaries respect the total order), per-bucket counts come
+    to the driver (``range_buckets`` rows), their exclusive prefix
+    returns as a broadcast join, and the within-bucket ``row_number``
+    window partitions by bucket. The NTILE boundary arithmetic is exact
+    integer math on driver-known (n, B) literals — no floats anywhere in
+    the rank→bucket map.
+    """
+    from pyspark.sql.window import Window
+
+    B = int(n_buckets)
+    scored = (
+        ngram_lm_score(docs, counts=counts, n=n, alpha=alpha,
+                       text_col=text_col, id_col=id_col)
+        .where(F.col("n_scored") > 0)
+        .select("doc_id", "lm_score",
+                (-F.col("lm_score")).alias("_key"))
+    )
+    scored = scored.localCheckpoint(eager=True)  # 3 actions, 1 materialization
+    stats = scored.agg(
+        F.min("_key").alias("lo"), F.max("_key").alias("hi"),
+        F.count(F.lit(1)).alias("n")).first()
+    total = int(stats["n"] or 0)
+    if total == 0:
+        return scored.select("doc_id", "lm_score",
+                             F.lit(0).cast("int").alias("bucket"))
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    rb = int(range_buckets)
+    if hi > lo:
+        b = F.least(
+            F.floor((F.col("_key") - lo) / (hi - lo) * rb).cast("long"),
+            F.lit(rb - 1))
+    else:
+        b = F.lit(0).cast("long")
+    d = scored.withColumn("_b", b)
+    per_bucket = {int(r["_b"]): int(r["c"]) for r in
+                  d.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()}
+    rows, acc = [], 0
+    for i in range(rb):
+        rows.append((i, acc))
+        acc += per_bucket.get(i, 0)
+    off = docs.sparkSession.createDataFrame(rows, "_b long, _off long")
+    w = Window.partitionBy("_b").orderBy(F.asc("_key"), F.asc("doc_id"))
+    rank = (F.col("_off") + F.row_number().over(w)).alias("_r")
+    ranked = d.join(F.broadcast(off), "_b").select("doc_id", "lm_score", rank)
+    # NTILE(B) over n rows: first rem = n % B buckets hold q+1 = n//B + 1
+    # rows; ceil(a/b) = (a + b - 1) div b on positive longs
+    q, rem = divmod(total, B)
+    head = rem * (q + 1)
+    if q == 0:
+        # n < B: every row is its own bucket (NTILE gives ranks 1..n)
+        bucket = F.col("_r")
+    else:
+        # integer ceil without floats: ceil(a/b) = (a + b - 1) DIV b
+        bucket = F.when(
+            F.col("_r") <= head,
+            F.expr(f"CAST((_r + {q}) DIV {q + 1} AS INT)"),
+        ).otherwise(
+            F.expr(f"CAST({rem} + (_r - {head} + {q - 1}) DIV {q} AS INT)"))
+    return ranked.select(
+        "doc_id", "lm_score",
+        bucket.cast("int").alias("bucket"))

@@ -134,3 +134,52 @@ def test_merge_equals_union_counts(spark):
     direct = {(r["k"], r["ctx"], r["word"]): r["cnt"]
               for r in ngram_lm_counts(whole).collect()}
     assert merged == direct
+
+
+def _ref_ntile(scores, B):
+    """NTILE over (lm_score DESC, doc_id ASC): first n%B buckets get one
+    extra row."""
+    ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(ordered)
+    q, rem = divmod(n, B)
+    out, r = {}, 0
+    for b in range(1, B + 1):
+        size = q + (1 if b <= rem else 0)
+        for _ in range(size):
+            out[ordered[r][0]] = b
+            r += 1
+    return out
+
+
+@pytest.mark.parametrize("B", [2, 3, 5])
+def test_perplexity_buckets_match_ntile(spark, B):
+    from graph_data_science_spark.operators.lm import lm_perplexity_buckets
+
+    rows = ROWS + [(6, "the cat sat"), (7, "park ran dog a"),
+                   (8, "on the mat the cat sat")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bucket"]
+           for r in lm_perplexity_buckets(df, n_buckets=B).collect()}
+    scores = {d: s for d, (ns, s) in _ref_scores(rows, rows).items() if ns > 0}
+    assert got == _ref_ntile(scores, B)
+
+
+def test_perplexity_buckets_excludes_empty_docs(spark):
+    from graph_data_science_spark.operators.lm import lm_perplexity_buckets
+
+    df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    got = lm_perplexity_buckets(df, n_buckets=3).collect()
+    assert 5 not in {r["doc_id"] for r in got}     # the empty doc
+    assert len(got) == 4
+
+
+def test_perplexity_buckets_equal_counts(spark):
+    from graph_data_science_spark.operators.lm import lm_perplexity_buckets
+
+    rows = [(i, f"tok{i % 4} alpha beta tok{i % 7} gamma") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = lm_perplexity_buckets(df, n_buckets=3).collect()
+    from collections import Counter
+    sizes = Counter(r["bucket"] for r in got)
+    assert sorted(sizes.keys()) == [1, 2, 3]
+    assert all(v == 10 for v in sizes.values())
