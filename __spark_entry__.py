@@ -2619,8 +2619,12 @@ FROM tot LEFT JOIN ka USING (doc_id)"""
     # quantization (round(ln(S)*1e6), ties away from zero in BOTH engines)
     # so the per-doc SUM is order-independent. BOS padding = chr(1).
     o["lm_score"] = f"""
-WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws
-           FROM documents WHERE {_NORM} <> ''),
+WITH w AS (SELECT doc_id, ws
+           FROM (SELECT doc_id,
+                        list_filter(string_split({_NORM}, ' '),
+                                    t -> t <> '') AS ws
+                 FROM documents) AS wr
+           WHERE len(ws) > 0),
 pd AS (SELECT doc_id, list_concat([chr(1), chr(1)], ws) AS p, ws FROM w),
 pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i+1] AS w,
                p[i+2] AS ctx2,

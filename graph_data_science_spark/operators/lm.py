@@ -35,26 +35,29 @@ linear. No per-row Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+from graph_data_science_spark.operators.dedup import _norm
 
 #: BOS padding token — one char outside any normalized token alphabet
 #: (normalization collapses whitespace; \\x01 never appears in text tokens).
 BOS = "\x01"
 
 
-def _norm(col: Column) -> Column:
-    # same normalization as dedup/tokenizer: lower + collapse whitespace
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
-
-
 def _positions(docs: DataFrame, n: int, text_col: str,
                id_col: str) -> DataFrame:
     """(doc_id, i, w, ctx2..ctxn): one row per token position with its
-    (k-1)-word contexts for k = 2..n, BOS-padded at the document start."""
-    ws = F.split(_norm(F.col(text_col)), " ")
+    (k-1)-word contexts for k = 2..n, BOS-padded at the document start.
+
+    Empty tokens are filtered (the corpus-wide convention, e.g.
+    token_budget_sample): text whose normalization is all-whitespace
+    contributes nothing, and leading non-space whitespace (\\n, \\t —
+    which trim does not strip) cannot smuggle a phantom '' token into the
+    model. The SQL oracle applies the identical ``list_filter``."""
+    ws = F.filter(F.split(_norm(F.col(text_col)), " "), lambda t: t != "")
     base = (
         docs.select(F.col(id_col).alias("doc_id"), ws.alias("_ws"))
-        .where(F.length(F.concat_ws("", F.col("_ws"))) > 0)
+        .where(F.size("_ws") > 0)
         .withColumn("_p", F.concat(
             F.array_repeat(F.lit(BOS), n - 1), F.col("_ws")))
     )
@@ -120,7 +123,14 @@ def ngram_lm_score(docs: DataFrame, counts: DataFrame | None = None,
     integer sum of per-position micro-nats — order-independent by
     construction (module docstring)."""
     if counts is None:
-        counts = ngram_lm_counts(docs, n=n, text_col=text_col, id_col=id_col)
+        # materialize the vocabulary-sized table once: the scalar N action
+        # and the five scoring-join branches all read the cached copy
+        # instead of re-aggregating the corpus per reference (exchange
+        # reuse does not span actions). Single eager checkpoint — terminal
+        # materialization, not a chained truncation.
+        counts = ngram_lm_counts(
+            docs, n=n, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
     pos = _positions(docs, n, text_col, id_col)
 
     uni = counts.where(F.col("k") == 1).select(
@@ -190,7 +200,8 @@ def lm_perplexity_buckets(docs: DataFrame, counts: DataFrame | None = None,
     integer math on driver-known (n, B) literals — no floats anywhere in
     the rank→bucket map.
     """
-    from pyspark.sql.window import Window
+    from graph_data_science_spark.plans.partitioning import (
+        bucketed_exclusive_prefix)
 
     B = int(n_buckets)
     scored = (
@@ -216,17 +227,13 @@ def lm_perplexity_buckets(docs: DataFrame, counts: DataFrame | None = None,
             F.lit(rb - 1))
     else:
         b = F.lit(0).cast("long")
-    d = scored.withColumn("_b", b)
-    per_bucket = {int(r["_b"]): int(r["c"]) for r in
-                  d.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()}
-    rows, acc = [], 0
-    for i in range(rb):
-        rows.append((i, acc))
-        acc += per_bucket.get(i, 0)
-    off = docs.sparkSession.createDataFrame(rows, "_b long, _off long")
-    w = Window.partitionBy("_b").orderBy(F.asc("_key"), F.asc("doc_id"))
-    rank = (F.col("_off") + F.row_number().over(w)).alias("_r")
-    ranked = d.join(F.broadcast(off), "_b").select("doc_id", "lm_score", rank)
+    ranked = (
+        bucketed_exclusive_prefix(
+            scored.withColumn("_b", b), "_b", ["_key", "doc_id"], rb,
+            value=None, out="_r0")
+        .select("doc_id", "lm_score",
+                (F.col("_r0") + 1).alias("_r"))
+    )
     # NTILE(B) over n rows: first rem = n % B buckets hold q+1 = n//B + 1
     # rows; ceil(a/b) = (a + b - 1) div b on positive longs
     q, rem = divmod(total, B)

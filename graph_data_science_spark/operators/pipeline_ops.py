@@ -728,6 +728,8 @@ def token_budget_sample(
     exclusive cumsum = exact global exclusive cumsum.
     """
     from graph_data_science_spark.operators.embeddings import _u01
+    from graph_data_science_spark.plans.partitioning import (
+        bucketed_exclusive_prefix)
 
     u = _u01(F.col(id_col), F.lit("budget"), F.lit(int(seed)))
     toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda t: t != "")
@@ -738,19 +740,12 @@ def token_budget_sample(
         F.floor(u * int(n_buckets)).cast("long").alias("_b"),
     )
     d = d.localCheckpoint(eager=True)  # cut the double-scan of the prefix pass
-    totals = {int(r["_b"]): int(r["t"])
-              for r in d.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()}
-    rows, acc = [], 0
-    for b in range(int(n_buckets)):
-        rows.append((b, acc))
-        acc += totals.get(b, 0)
-    off = docs.sparkSession.createDataFrame(rows, "_b long, _off long")
-    w = (Window.partitionBy("_b").orderBy(F.asc("_u"), F.asc("doc_id"))
-         .rowsBetween(Window.unboundedPreceding, -1))
-    pre = F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return d.join(F.broadcast(off), "_b").select(
+    return bucketed_exclusive_prefix(
+        d, "_b", ["_u", "doc_id"], int(n_buckets),
+        value="n_tokens", out="_pre",
+    ).select(
         "doc_id", "n_tokens",
-        (pre < int(budget_tokens)).alias("kept"),
+        (F.col("_pre") < int(budget_tokens)).alias("kept"),
     )
 
 

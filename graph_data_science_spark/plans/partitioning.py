@@ -67,3 +67,48 @@ def repartition_edges(edges: DataFrame, num_partitions: int | None = None) -> Da
     if num_partitions is None:
         num_partitions = edges.sparkSession.sparkContext.defaultParallelism
     return edges.repartition(num_partitions, "src")
+
+
+def bucketed_exclusive_prefix(
+    d: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    n_buckets: int,
+    value: Column | str | None = None,
+    out: str = "_prefix",
+) -> DataFrame:
+    """Exact global exclusive prefix over the total order ``(bucket_col,
+    *order_cols)`` without a global sort — the SCALE_NOTES §21 two-level
+    pattern, factored out of token_budget_sample / lm_perplexity_buckets
+    so the subtle machinery (driver-side exclusive bucket prefix,
+    broadcast offset join, bucket-partitioned window) exists once.
+
+    ``d[bucket_col]`` must hold integer bucket ids in ``[0, n_buckets)``
+    whose boundaries respect the order (rows in bucket b sort before
+    every row in bucket b+1). With ``value`` set, ``out`` is the
+    exclusive running SUM of ``value``; with ``value=None``, ``out`` is
+    the exclusive running COUNT — i.e. ``out + 1`` is the exact 1-based
+    global rank. The per-bucket totals (``n_buckets`` rows) are the only
+    driver state; the within-bucket window is ``n_buckets``-way parallel.
+
+    ``d`` is read twice (bucket totals + final pass) — callers that
+    reach this from an expensive lineage should materialize first (both
+    call sites localCheckpoint eagerly)."""
+    from pyspark.sql.window import Window
+
+    vcol = (F.col(value) if isinstance(value, str) else value) \
+        if value is not None else F.lit(1)
+    totals = {int(r["_b"]): int(r["t"]) for r in
+              d.groupBy(F.col(bucket_col).alias("_b"))
+               .agg(F.sum(vcol).alias("t")).collect()}
+    rows, acc = [], 0
+    for b in range(int(n_buckets)):
+        rows.append((b, acc))
+        acc += totals.get(b, 0)
+    off = d.sparkSession.createDataFrame(rows, f"{bucket_col} long, _off long")
+    w = (Window.partitionBy(bucket_col)
+         .orderBy(*[F.asc(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pre = (F.col("_off")
+           + F.coalesce(F.sum(vcol).over(w), F.lit(0))).alias(out)
+    return d.join(F.broadcast(off), bucket_col).select("*", pre).drop("_off")

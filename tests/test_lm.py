@@ -11,6 +11,17 @@ from graph_data_science_spark.operators.lm import (
 )
 
 
+def _half_up(x, digits):
+    """Spark/DuckDB ROUND semantics: HALF_UP on the shortest-decimal
+    expansion (BigDecimal.valueOf) — Python's round() is banker's and
+    diverges at exact .5 boundaries (e.g. a 2-token doc whose micro sum
+    is odd)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _ref_scores(train_rows, score_rows, n=3, alpha=0.4):
     """Independent reference: same formula, dict-based."""
     from collections import Counter
@@ -47,9 +58,10 @@ def _ref_scores(train_rows, score_rows, n=3, alpha=0.4):
                     s = c / ctx_tot[k][ctx]
                 else:
                     s = alpha * s
-            micros.append(round(math.log(s) * 1e6))
+            micros.append(int(_half_up(math.log(s) * 1e6, 0)))
         if micros:
-            out[d] = (len(micros), round(sum(micros) / len(micros) / 1e6, 6))
+            out[d] = (len(micros),
+                      _half_up(sum(micros) / len(micros) / 1e6, 6))
         else:
             out[d] = (0, 0.0)
     return out
@@ -61,6 +73,11 @@ ROWS = [
     (3, "a dog ran in the park"),
     (4, "the cat sat on the mat again and again"),
     (5, ""),
+    # review findings 1-2: trim strips only spaces, so non-space
+    # whitespace must neither create phantom '' tokens (doc 7) nor turn a
+    # whitespace-only doc into scored tokens (doc 6)
+    (6, "\n\t"),
+    (7, "\nthe cat"),
 ]
 
 
@@ -120,6 +137,9 @@ def test_empty_doc_scores_zero(spark):
     df = spark.createDataFrame(ROWS, ["doc_id", "text"])
     got = {r["doc_id"]: r for r in ngram_lm_score(df).collect()}
     assert got[5]["n_scored"] == 0 and got[5]["lm_score"] == 0.0
+    # whitespace-only doc contributes nothing; leading \n adds no '' token
+    assert got[6]["n_scored"] == 0 and got[6]["lm_score"] == 0.0
+    assert got[7]["n_scored"] == 2
 
 
 def test_merge_equals_union_counts(spark):
@@ -155,8 +175,8 @@ def _ref_ntile(scores, B):
 def test_perplexity_buckets_match_ntile(spark, B):
     from graph_data_science_spark.operators.lm import lm_perplexity_buckets
 
-    rows = ROWS + [(6, "the cat sat"), (7, "park ran dog a"),
-                   (8, "on the mat the cat sat")]
+    rows = ROWS + [(16, "the cat sat"), (17, "park ran dog a"),
+                   (18, "on the mat the cat sat")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r["bucket"]
            for r in lm_perplexity_buckets(df, n_buckets=B).collect()}
@@ -169,8 +189,9 @@ def test_perplexity_buckets_excludes_empty_docs(spark):
 
     df = spark.createDataFrame(ROWS, ["doc_id", "text"])
     got = lm_perplexity_buckets(df, n_buckets=3).collect()
-    assert 5 not in {r["doc_id"] for r in got}     # the empty doc
-    assert len(got) == 4
+    ids = {r["doc_id"] for r in got}
+    assert 5 not in ids and 6 not in ids   # empty + whitespace-only docs
+    assert len(got) == 5
 
 
 def test_perplexity_buckets_equal_counts(spark):
