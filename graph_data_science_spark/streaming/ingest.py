@@ -373,3 +373,63 @@ def run_streaming_hll(
     with open(marker) as fh:
         slot = json.load(fh)["slot"]
     return spark.read.parquet(_slot(slot))
+
+
+def run_streaming_lm_counts(
+    spark: SparkSession,
+    doc_delta_dir: str,
+    state_dir: str,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: str = "doc_id long, text string, lang string",
+) -> DataFrame:
+    """Maintain the Stupid-Backoff LM count table over a continuously
+    growing reference corpus: ``readStream`` over a document drop zone →
+    per micro-batch, count the batch's n-grams and integer-sum-merge them
+    into the persisted model store (operators/lm.py — Stupid Backoff
+    needs no renormalization, so the merge IS exact model training:
+    ``merge(counts(A), counts(B)) == counts(A ∪ B)`` bit-for-bit, the
+    pytest-pinned ngram_lm_merge property).
+
+    Same state contract as the HLL maintainer: alternating parquet slots
+    + a ``_latest`` marker; the store stays vocabulary-sized (Heaps' law)
+    regardless of corpus size. Returns the final (k, ctx, word, cnt)
+    table — pass it to :func:`~...lm.ngram_lm_score` as ``counts``.
+    """
+    import json
+
+    from graph_data_science_spark.operators.lm import (
+        ngram_lm_counts, ngram_lm_merge)
+
+    marker = os.path.join(state_dir, "_latest")
+
+    def _slot(i: int) -> str:
+        return os.path.join(state_dir, f"counts-{i % 2}")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        fresh = ngram_lm_counts(batch, n=n, text_col=text_col,
+                                id_col=id_col)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                prev_slot = json.load(fh)["slot"]
+            prev = spark.read.parquet(_slot(prev_slot))
+            merged = ngram_lm_merge(prev, fresh)
+            next_slot = prev_slot + 1
+        else:
+            merged = fresh
+            next_slot = 0
+        merged.write.mode("overwrite").parquet(_slot(next_slot))
+        with open(marker, "w") as fh:
+            json.dump({"slot": next_slot, "batch_id": int(batch_id)}, fh)
+
+    q = (spark.readStream.schema(schema).parquet(doc_delta_dir)
+         .writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    with open(marker) as fh:
+        slot = json.load(fh)["slot"]
+    return spark.read.parquet(_slot(slot))

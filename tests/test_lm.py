@@ -204,3 +204,41 @@ def test_perplexity_buckets_equal_counts(spark):
     sizes = Counter(r["bucket"] for r in got)
     assert sorted(sizes.keys()) == [1, 2, 3]
     assert all(v == 10 for v in sizes.values())
+
+
+def test_streaming_lm_counts_match_batch_training(spark, tmp_path):
+    """Drain two document drops through the streaming maintainer: the
+    persisted count table must equal one-pass batch training on the union
+    EXACTLY (integer-sum merge is associative — exact model training,
+    not an approximation)."""
+    import os
+
+    from graph_data_science_spark.streaming.ingest import (
+        run_streaming_lm_counts)
+
+    drop = os.path.join(str(tmp_path), "lm_drop")
+    state = os.path.join(str(tmp_path), "lm_state")
+    df = spark.createDataFrame(
+        [(d, t, "en") for d, t in ROWS], ["doc_id", "text", "lang"])
+    half1 = df.where("doc_id % 2 = 0")
+    half2 = df.where("doc_id % 2 = 1")
+
+    half1.write.mode("append").parquet(drop)
+    s1 = {(r["k"], r["ctx"], r["word"]): r["cnt"]
+          for r in run_streaming_lm_counts(spark, drop, state).collect()}
+    want1 = {(r["k"], r["ctx"], r["word"]): r["cnt"]
+             for r in ngram_lm_counts(half1).collect()}
+    assert s1 == want1
+
+    half2.write.mode("append").parquet(drop)
+    s2 = {(r["k"], r["ctx"], r["word"]): r["cnt"]
+          for r in run_streaming_lm_counts(spark, drop, state).collect()}
+    want2 = {(r["k"], r["ctx"], r["word"]): r["cnt"]
+             for r in ngram_lm_counts(df).collect()}
+    assert s2 == want2
+
+    # and the maintained model scores identically to batch self-training
+    got = {r["doc_id"]: r["lm_score"] for r in ngram_lm_score(
+        df, counts=run_streaming_lm_counts(spark, drop, state)).collect()}
+    want = {r["doc_id"]: r["lm_score"] for r in ngram_lm_score(df).collect()}
+    assert got == want
