@@ -1620,6 +1620,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_bpe_tokens")
 
     q["bpe_token_count"] = _bpe_token_count
+
+    # session-8: integer-id encoding (the packing-stage input shape) —
+    # rows-only for the same merge-fold reason; id/vocab roundtrip + OOV
+    # contract pytest-pinned in tests/test_tokenizer.py
+    def _bpe_encode_ids(s, d):
+        from graph_data_science_spark.operators.tokenizer import (
+            bpe_encode_ids)
+        docs = _docs(s, d)
+        return bpe_encode_ids(docs, bpe_train(docs, n_merges=12)).select(
+            "doc_id", "n_bpe_tokens", F.size("ids").alias("n_ids"))
+
+    q["bpe_encode_ids"] = _bpe_encode_ids
     # leiden: adds WCC-refinement between levels — the refinement's nested
     # fixpoint makes a fixed SQL unroll fragile (intra-community diameters
     # aren't structurally bounded); correctness is pytest property tests

@@ -128,6 +128,13 @@ def main() -> None:
     quality_score(docs).agg(F.avg("quality")).first()
     timings["text_stats"] = time.monotonic() - t0
 
+    # session-8 headline addition: the CCNet-style LM quality filter
+    # (self-trained Stupid-Backoff trigram, integer micro-nat scoring)
+    from graph_data_science_spark.operators.lm import ngram_lm_score
+    t0 = time.monotonic()
+    ngram_lm_score(docs).agg(F.avg("lm_score")).first()
+    timings["lm_score"] = time.monotonic() - t0
+
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     t0 = time.monotonic()

@@ -657,6 +657,9 @@ ESTIMATOR_FOR_QUERY = {
     # over the DISTINCT-WORD table (vocabulary-scale state) — the
     # corpus_vocabulary shuffle shape, ×n_merges rounds; encode is a scan
     "bpe_token_count": "corpus_vocabulary",
+    # id encoding adds a broadcast vocab join + one groupBy(doc)
+    # re-assembly over the encoded stream — same vocabulary-sized state
+    "bpe_encode_ids": "corpus_vocabulary",
     # segment-level exact dedup: segment-hash first-occurrence agg +
     # keeper join + per-doc reassembly — occurrence-sized partial aggs,
     # shuffle keys are (hash, ids) not text: the corpus_vocabulary shape

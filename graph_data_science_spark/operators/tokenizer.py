@@ -156,3 +156,65 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
         F.size(toks).cast("long").alias("n_bpe_tokens"),
         toks.alias("tokens"),
     )
+
+
+def bpe_vocab(docs: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Deterministic id assignment over the encoded corpus →
+    ``(token_id, token)`` — distinct BPE symbols in lexicographic order,
+    dense ids from 0. Given the same (corpus, merges) the table is
+    identical at any partitioning; persist it as the model's companion
+    artifact (the merges list + this table = the full tokenizer).
+
+    Scale: the distinct agg is vocabulary-sized (map-side combine
+    collapses each partition's repeats); the id window orders the
+    vocab table only — never the corpus."""
+    from pyspark.sql.window import Window
+
+    toks = bpe_encode(docs, merges, text_col, id_col)
+    return (
+        toks.select(F.explode("tokens").alias("token")).distinct()
+        .select(
+            (F.row_number().over(Window.orderBy("token")) - 1)
+            .cast("int").alias("token_id"),
+            "token")
+    )
+
+
+def bpe_encode_ids(docs: DataFrame, merges: list[tuple[str, str]],
+                   vocab: DataFrame | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Tokenize to integer ids → ``(doc_id, n_bpe_tokens, ids)`` — the
+    shape a packing stage (pipeline_ops.pack_sequences) feeds a trainer.
+    ``vocab=None`` derives :func:`bpe_vocab` from ``docs`` itself;
+    passing a persisted vocab encodes new text against a frozen
+    tokenizer, with out-of-vocabulary symbols mapped to -1 (callers
+    decide whether to drop or retrain — the honest OOV contract, since
+    real BPE vocabularies are frozen artifacts).
+
+    Plan: one posexplode of the symbol stream, a broadcast join against
+    the vocabulary-sized id table, and one groupBy(doc) re-assembly
+    ordered by position — ids never ride a window over the corpus."""
+    if vocab is None:
+        vocab = bpe_vocab(docs, merges, text_col, id_col)
+    toks = bpe_encode(docs, merges, text_col, id_col)
+    pos = toks.select(
+        "doc_id", "n_bpe_tokens",
+        F.posexplode("tokens").alias("pos", "token"))
+    joined = pos.join(F.broadcast(vocab), "token", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.first("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "pos", F.coalesce("token_id", F.lit(-1)).alias("tid")))),
+                lambda x: x["tid"]).alias("ids"),
+        )
+        .unionByName(  # docs with zero tokens keep a row (empty ids)
+            toks.where(F.col("n_bpe_tokens") == 0).select(
+                "doc_id", "n_bpe_tokens",
+                F.array().cast("array<int>").alias("ids")))
+    )

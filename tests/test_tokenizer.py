@@ -113,3 +113,44 @@ def test_bpe_overlapping_pair_is_greedy_left_to_right(spark):
     enc = bpe_encode(docs, merges).collect()[0]
     # "aaa" folds to [aa, a, </w>] — non-overlapping, like the reference
     assert list(enc["tokens"]) == ["aa", "a", EOW, "aa", "a", EOW]
+
+
+def test_bpe_vocab_dense_lex_ids(docs):
+    from graph_data_science_spark.operators.tokenizer import (
+        bpe_encode, bpe_vocab)
+
+    merges = bpe_train(docs, n_merges=8)
+    v = bpe_vocab(docs, merges).collect()
+    toks = sorted({t for r in bpe_encode(docs, merges).collect()
+                   for t in r["tokens"]})
+    assert [r["token"] for r in sorted(v, key=lambda r: r["token_id"])] \
+        == toks
+    assert sorted(r["token_id"] for r in v) == list(range(len(toks)))
+
+
+def test_bpe_encode_ids_roundtrip(docs):
+    from graph_data_science_spark.operators.tokenizer import (
+        bpe_encode, bpe_encode_ids, bpe_vocab)
+
+    merges = bpe_train(docs, n_merges=8)
+    vocab = {r["token_id"]: r["token"]
+             for r in bpe_vocab(docs, merges).collect()}
+    toks = {r["doc_id"]: r["tokens"]
+            for r in bpe_encode(docs, merges).collect()}
+    for r in bpe_encode_ids(docs, merges).collect():
+        assert [vocab[i] for i in r["ids"]] == toks[r["doc_id"]]
+        assert r["n_bpe_tokens"] == len(r["ids"])
+
+
+def test_bpe_encode_ids_frozen_vocab_oov(spark, docs):
+    from graph_data_science_spark.operators.tokenizer import (
+        bpe_encode_ids, bpe_vocab)
+
+    merges = bpe_train(docs, n_merges=8)
+    vocab = bpe_vocab(docs, merges)
+    new = spark.createDataFrame(
+        [(99, "zzz qqq")], ["doc_id", "text"])  # chars unseen in training
+    out = {r["doc_id"]: r for r in
+           bpe_encode_ids(new, merges, vocab=vocab).collect()}
+    assert -1 in out[99]["ids"]   # OOV symbols map to -1, not dropped
+    assert len(out[99]["ids"]) == out[99]["n_bpe_tokens"]
