@@ -170,9 +170,13 @@ def bpe_vocab(docs: DataFrame, merges: list[tuple[str, str]],
     Scale: the distinct agg is vocabulary-sized (map-side combine
     collapses each partition's repeats); the id window orders the
     vocab table only — never the corpus."""
+    return _vocab_from_encoded(bpe_encode(docs, merges, text_col, id_col))
+
+
+def _vocab_from_encoded(toks: DataFrame) -> DataFrame:
+    """Dense lexicographic ids over an already-encoded token table."""
     from pyspark.sql.window import Window
 
-    toks = bpe_encode(docs, merges, text_col, id_col)
     return (
         toks.select(F.explode("tokens").alias("token")).distinct()
         .select(
@@ -194,12 +198,17 @@ def bpe_encode_ids(docs: DataFrame, merges: list[tuple[str, str]],
     decide whether to drop or retrain — the honest OOV contract, since
     real BPE vocabularies are frozen artifacts).
 
-    Plan: one posexplode of the symbol stream, a broadcast join against
-    the vocabulary-sized id table, and one groupBy(doc) re-assembly
-    ordered by position — ids never ride a window over the corpus."""
+    Plan: the chained-fold encode (the pipeline's most expensive
+    projection, with no shuffle for exchange reuse to cache) is
+    materialized ONCE with an eager checkpoint; the self-derived vocab,
+    the posexplode branch, and the zero-token union branch all read the
+    cached table. Then one broadcast join against the vocabulary-sized
+    id table and one groupBy(doc) re-assembly ordered by position — ids
+    never ride a window over the corpus."""
+    toks = bpe_encode(docs, merges, text_col, id_col).localCheckpoint(
+        eager=True)
     if vocab is None:
-        vocab = bpe_vocab(docs, merges, text_col, id_col)
-    toks = bpe_encode(docs, merges, text_col, id_col)
+        vocab = _vocab_from_encoded(toks)
     pos = toks.select(
         "doc_id", "n_bpe_tokens",
         F.posexplode("tokens").alias("pos", "token"))

@@ -314,6 +314,69 @@ def run_streaming_triangle_count(
         return int(_json.load(fh)["triangles"])
 
 
+def _run_slot_maintainer(
+    spark: SparkSession,
+    delta_dir: str,
+    state_dir: str,
+    fresh_fn,
+    merge_fn,
+    slot_prefix: str,
+    schema: str,
+) -> DataFrame:
+    """Shared drop-zone maintainer: ``readStream`` → per micro-batch,
+    ``fresh_fn(batch)`` summarized and ``merge_fn(prev, fresh)``-merged
+    into alternating parquet slots + a ``_latest`` marker (the
+    pagerank/wcc maintainers' resume contract).
+
+    Replay-safe for NON-idempotent merges: ``foreachBatch`` is
+    at-least-once (a crash between the slot write and the stream
+    checkpoint's offset commit redelivers the batch), so the sink skips
+    any ``batch_id`` at or below the marker's — without this guard a
+    sum-merge would double-count the replayed batch's contribution
+    (a max-merge like HLL's survives replay by accident; the guard makes
+    both exact by construction). Batch ids are monotonic per stream
+    checkpoint, which lives beside the slots in ``state_dir``.
+
+    An empty drop zone (zero micro-batches, no marker) returns
+    ``fresh_fn`` of an empty batch — the correctly-typed empty summary —
+    instead of crashing on the missing marker."""
+    import json
+
+    marker = os.path.join(state_dir, "_latest")
+
+    def _slot(i: int) -> str:
+        return os.path.join(state_dir, f"{slot_prefix}-{i % 2}")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                st = json.load(fh)
+            if int(batch_id) <= int(st["batch_id"]):
+                return  # at-least-once replay of an already-merged batch
+            prev = spark.read.parquet(_slot(st["slot"]))
+            merged = merge_fn(prev, fresh_fn(batch))
+            next_slot = st["slot"] + 1
+        else:
+            merged = fresh_fn(batch)
+            next_slot = 0
+        merged.write.mode("overwrite").parquet(_slot(next_slot))
+        with open(marker, "w") as fh:
+            json.dump({"slot": next_slot, "batch_id": int(batch_id)}, fh)
+
+    q = (spark.readStream.schema(schema).parquet(delta_dir)
+         .writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    if not os.path.exists(marker):
+        return fresh_fn(spark.createDataFrame([], schema))
+    with open(marker) as fh:
+        slot = json.load(fh)["slot"]
+    return spark.read.parquet(_slot(slot))
+
+
 def run_streaming_hll(
     spark: SparkSession,
     doc_delta_dir: str,
@@ -333,46 +396,18 @@ def run_streaming_hll(
     of-approximate).
 
     State = ``state_dir/regs-{0,1}`` alternating parquet slots + a
-    ``_latest`` marker (the same resume contract as the pagerank/wcc
-    maintainers); the store is at most groups·2^p rows regardless of
-    corpus size. Returns the final (group, reg, rho) registers —
-    feed to :func:`~...sketches.hll_estimate` for counts.
+    ``_latest`` marker (``_run_slot_maintainer``); the store is at most
+    groups·2^p rows regardless of corpus size. Returns the final
+    (group, reg, rho) registers — feed to
+    :func:`~...sketches.hll_estimate` for counts.
     """
-    import json
-
     from graph_data_science_spark.operators.sketches import (
         hll_merge, hll_registers)
 
-    marker = os.path.join(state_dir, "_latest")
-
-    def _slot(i: int) -> str:
-        return os.path.join(state_dir, f"regs-{i % 2}")
-
-    def sink(batch: DataFrame, batch_id: int) -> None:
-        fresh = hll_registers(batch, group_col, value_col, p, seed)
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                prev_slot = json.load(fh)["slot"]
-            prev = spark.read.parquet(_slot(prev_slot))
-            merged = hll_merge(prev, fresh)
-            next_slot = prev_slot + 1
-        else:
-            merged = fresh
-            next_slot = 0
-        merged.write.mode("overwrite").parquet(_slot(next_slot))
-        with open(marker, "w") as fh:
-            json.dump({"slot": next_slot, "batch_id": int(batch_id)}, fh)
-
-    q = (spark.readStream.schema(schema).parquet(doc_delta_dir)
-         .writeStream
-         .foreachBatch(sink)
-         .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    with open(marker) as fh:
-        slot = json.load(fh)["slot"]
-    return spark.read.parquet(_slot(slot))
+    return _run_slot_maintainer(
+        spark, doc_delta_dir, state_dir,
+        lambda b: hll_registers(b, group_col, value_col, p, seed),
+        hll_merge, "regs", schema)
 
 
 def run_streaming_lm_counts(
@@ -392,44 +427,18 @@ def run_streaming_lm_counts(
     ``merge(counts(A), counts(B)) == counts(A ∪ B)`` bit-for-bit, the
     pytest-pinned ngram_lm_merge property).
 
-    Same state contract as the HLL maintainer: alternating parquet slots
-    + a ``_latest`` marker; the store stays vocabulary-sized (Heaps' law)
-    regardless of corpus size. Returns the final (k, ctx, word, cnt)
-    table — pass it to :func:`~...lm.ngram_lm_score` as ``counts``.
+    Same state contract as the HLL maintainer (``_run_slot_maintainer``,
+    including the at-least-once replay guard — CRITICAL here because the
+    integer-sum merge is NOT idempotent, unlike HLL's max-merge: a
+    replayed batch would double-count its n-grams). The store stays
+    vocabulary-sized (Heaps' law) regardless of corpus size. Returns the
+    final (k, ctx, word, cnt) table — pass it to
+    :func:`~...lm.ngram_lm_score` as ``counts``.
     """
-    import json
-
     from graph_data_science_spark.operators.lm import (
         ngram_lm_counts, ngram_lm_merge)
 
-    marker = os.path.join(state_dir, "_latest")
-
-    def _slot(i: int) -> str:
-        return os.path.join(state_dir, f"counts-{i % 2}")
-
-    def sink(batch: DataFrame, batch_id: int) -> None:
-        fresh = ngram_lm_counts(batch, n=n, text_col=text_col,
-                                id_col=id_col)
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                prev_slot = json.load(fh)["slot"]
-            prev = spark.read.parquet(_slot(prev_slot))
-            merged = ngram_lm_merge(prev, fresh)
-            next_slot = prev_slot + 1
-        else:
-            merged = fresh
-            next_slot = 0
-        merged.write.mode("overwrite").parquet(_slot(next_slot))
-        with open(marker, "w") as fh:
-            json.dump({"slot": next_slot, "batch_id": int(batch_id)}, fh)
-
-    q = (spark.readStream.schema(schema).parquet(doc_delta_dir)
-         .writeStream
-         .foreachBatch(sink)
-         .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    with open(marker) as fh:
-        slot = json.load(fh)["slot"]
-    return spark.read.parquet(_slot(slot))
+    return _run_slot_maintainer(
+        spark, doc_delta_dir, state_dir,
+        lambda b: ngram_lm_counts(b, n=n, text_col=text_col, id_col=id_col),
+        ngram_lm_merge, "counts", schema)

@@ -242,3 +242,42 @@ def test_streaming_lm_counts_match_batch_training(spark, tmp_path):
         df, counts=run_streaming_lm_counts(spark, drop, state)).collect()}
     want = {r["doc_id"]: r["lm_score"] for r in ngram_lm_score(df).collect()}
     assert got == want
+
+
+def test_streaming_lm_replay_guard(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate redelivery by wiping the
+    stream checkpoint (offsets lost) while keeping the state slots — the
+    redelivered batch must be SKIPPED, not sum-merged a second time
+    (sum-merge is not idempotent; without the guard every cnt doubles)."""
+    import os
+    import shutil
+
+    from graph_data_science_spark.streaming.ingest import (
+        run_streaming_lm_counts)
+
+    drop = os.path.join(str(tmp_path), "drop")
+    state = os.path.join(str(tmp_path), "state")
+    df = spark.createDataFrame(
+        [(d, t, "en") for d, t in ROWS], ["doc_id", "text", "lang"])
+    df.write.mode("append").parquet(drop)
+
+    c1 = {(r["k"], r["ctx"], r["word"]): r["cnt"]
+          for r in run_streaming_lm_counts(spark, drop, state).collect()}
+    shutil.rmtree(os.path.join(state, "_checkpoint"))  # lose the offsets
+    c2 = {(r["k"], r["ctx"], r["word"]): r["cnt"]
+          for r in run_streaming_lm_counts(spark, drop, state).collect()}
+    assert c2 == c1  # replayed batch skipped — no double counting
+
+
+def test_streaming_lm_empty_drop_zone(spark, tmp_path):
+    import os
+
+    from graph_data_science_spark.streaming.ingest import (
+        run_streaming_lm_counts)
+
+    drop = os.path.join(str(tmp_path), "empty_drop")
+    state = os.path.join(str(tmp_path), "empty_state")
+    os.makedirs(drop)
+    out = run_streaming_lm_counts(spark, drop, state)
+    assert out.columns == ["k", "ctx", "word", "cnt"]
+    assert out.count() == 0
