@@ -757,11 +757,23 @@ def prepare_training_data(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    remove_spans_k: int | None = None,
+    lm_keep_buckets: int | None = None,
+    lm_n_buckets: int = 3,
 ) -> tuple[DataFrame, dict]:
     """The composed corpus journey — what a user of this engine actually
     runs end-to-end: quality filter → fuzzy dedup (keep the best cluster
-    member) → benchmark decontamination → pack into fixed-length training
-    sequences → deterministic shuffle-shard the sequences.
+    member) → benchmark decontamination → [optional: CCNet LM bucket
+    filter, exact-substring span removal] → pack into fixed-length
+    training sequences → deterministic shuffle-shard the sequences.
+
+    ``lm_keep_buckets=b`` keeps only documents in the ``b`` most
+    reference-like of ``lm_n_buckets`` perplexity buckets (the CCNet
+    head/middle/tail cut, self-trained on the post-dedup corpus);
+    ``remove_spans_k=k`` rewrites each surviving document with
+    cross-corpus duplicated k-token spans cut (keep-corpus-first), so
+    boilerplate never reaches the packer. Both default OFF to keep the
+    base journey's oracle-composition unchanged.
 
     Returns ``(sequences, manifest)``: ``sequences`` =
     ``(doc_id, shard, seq_in_shard, n_tokens, order_shard, order_pos)``
@@ -798,6 +810,34 @@ def prepare_training_data(
     stage3 = stage2.join(clean, stage2[id_col] == clean["doc_id"],
                          "left_semi")
     manifest["decontaminated"] = stage3.count()
+
+    if lm_keep_buckets is not None:
+        from graph_data_science_spark.operators.lm import (
+            lm_perplexity_buckets)
+        head = lm_perplexity_buckets(
+            stage3, n_buckets=int(lm_n_buckets), text_col=text_col,
+            id_col=id_col
+        ).where(F.col("bucket") <= int(lm_keep_buckets)).select("doc_id")
+        stage3 = stage3.join(head, stage3[id_col] == head["doc_id"],
+                             "left_semi")
+        manifest["lm_filtered"] = stage3.count()
+
+    if remove_spans_k is not None:
+        from graph_data_science_spark.operators.dedup import (
+            remove_duplicate_spans)
+        rewritten = remove_duplicate_spans(
+            stage3, k=int(remove_spans_k), text_col=text_col,
+            id_col=id_col)
+        manifest["span_tokens_removed"] = int(
+            rewritten.agg(F.sum("tokens_removed")).first()[0] or 0)
+        extra = [c for c in stage3.columns if c not in (id_col, text_col)]
+        stage3 = rewritten.select(
+            F.col("doc_id").alias(id_col),
+            F.col("clean_text").alias(text_col),
+        ).join(stage3.select(id_col, *extra), id_col) if extra else \
+            rewritten.select(
+                F.col("doc_id").alias(id_col),
+                F.col("clean_text").alias(text_col))
 
     packed = pack_sequences(stage3, max_tokens=max_tokens,
                             n_shards=n_shards, text_col=text_col,

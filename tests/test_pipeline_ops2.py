@@ -159,3 +159,34 @@ def test_prepare_training_data_composition(spark):
     seqs2, manifest2 = prepare_training_data(docs, quality_threshold=0.5)
     assert manifest2 == manifest
     assert {tuple(r) for r in seqs2.collect()} == {tuple(r) for r in rows}
+
+
+def test_prepare_training_data_optional_stages(spark):
+    """The session-8 optional stages: CCNet LM bucket filter + duplicate
+    span removal compose into the journey, tighten the funnel, and stay
+    consistent with their standalone operators."""
+    from graph_data_science_spark.operators.dedup import (
+        remove_duplicate_spans)
+    from graph_data_science_spark.operators.lm import lm_perplexity_buckets
+    from graph_data_science_spark.operators.pipeline_ops import (
+        prepare_training_data)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").localCheckpoint()
+    seqs, manifest = prepare_training_data(
+        docs, quality_threshold=0.5,
+        lm_keep_buckets=2, lm_n_buckets=3, remove_spans_k=8)
+
+    # funnel extends monotonically through the LM stage
+    assert (manifest["decontaminated"] >= manifest["lm_filtered"] > 0)
+    assert manifest["span_tokens_removed"] >= 0
+    # ~2/3 of the decontaminated docs survive a keep-2-of-3 bucket cut
+    assert manifest["lm_filtered"] <= manifest["decontaminated"]
+
+    ids = {r["doc_id"] for r in seqs.collect()}
+    assert len(ids) == manifest["lm_filtered"]
+
+    # base journey unchanged when the optional stages are off
+    _, base_manifest = prepare_training_data(docs, quality_threshold=0.5)
+    assert "lm_filtered" not in base_manifest
+    assert "span_tokens_removed" not in base_manifest
