@@ -1985,7 +1985,7 @@ _GATE_LAST = [
     # value-hashed by tests/test_entry_oracle.py at every pytest run, the
     # core four + betweenness also re-executed end-to-end per bench run
     # at sf0.1, and ALL 50+ entries re-run at sf0.01 via
-    # scripts/run_ungated.py this session — 59 ran, 0 failed). The
+    # scripts/run_ungated.py this session — 60 ran, 0 failed). The
     # 50-slot gate goes to kernels that have never been driver-gated in
     # their current form. ivfpq_topk (rows-only) also sits outside the
     # cap: its components (kmeans, pq_codes, pq_topk) are each fully
