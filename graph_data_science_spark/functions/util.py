@@ -72,16 +72,21 @@ def as_nodes(graph: Graph, df: DataFrame, ids_col: str,
     per-row Python."""
     props = [c for c in graph.nodes.columns if c != "node_id"]
     other = [c for c in df.columns]
-    pos = df.select(*other, F.posexplode_outer(ids_col).alias("_pos", "_id"))
+    # Re-assembly key is a per-row surrogate, NOT the payload columns:
+    # the reference asNodes is strictly per-row, so duplicate rows must
+    # stay duplicates and a df whose only column is ids_col must not
+    # collapse to one group.
+    pos = (df.withColumn("_rowkey", F.monotonically_increasing_id())
+             .select("_rowkey", *other,
+                     F.posexplode_outer(ids_col).alias("_pos", "_id")))
     nodes = graph.nodes.select(
         F.col("node_id").alias("_id"),
         F.struct(F.col("node_id"), *props).alias("_node"))
     joined = pos.join(nodes, "_id", "left")
-    keys = [c for c in other if c != ids_col]
     return (
-        joined.groupBy(*keys)
+        joined.groupBy("_rowkey")
         .agg(
-            F.first(ids_col).alias(ids_col),
+            *[F.first(c).alias(c) for c in other],
             F.transform(
                 F.filter(
                     F.array_sort(F.collect_list(
@@ -89,6 +94,7 @@ def as_nodes(graph: Graph, df: DataFrame, ids_col: str,
                     lambda x: x["_node"].isNotNull()),
                 lambda x: x["_node"]).alias(out_col),
         )
+        .drop("_rowkey")
     )
 
 

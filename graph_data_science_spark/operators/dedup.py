@@ -507,9 +507,11 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
     occurrence — min ``(doc_id, pos)``, the :func:`segment_dedup`
     keeper rule — is exempt; every other duplicated window merges into
     spans (same islands rule as :func:`duplicate_spans`) whose tokens are
-    dropped, and the surviving tokens are reassembled in order. At least
-    one copy of every duplicated substring therefore survives somewhere
-    in the corpus.
+    dropped, and the surviving tokens are reassembled in order. The
+    guarantee is per-shingle: the corpus-first occurrence of each
+    duplicated window is never itself removed, though a DIFFERENT hot
+    shingle's non-exempt span may overlap and truncate it — so an intact
+    copy of a longer duplicated substring need not survive verbatim.
 
     The reassembly never explodes tokens: each doc's span list (a small
     array) joins back to the token array and a codegen'd

@@ -222,8 +222,13 @@ def bpe_encode_ids(docs: DataFrame, merges: list[tuple[str, str]],
                     "pos", F.coalesce("token_id", F.lit(-1)).alias("tid")))),
                 lambda x: x["tid"]).alias("ids"),
         )
-        .unionByName(  # docs with zero tokens keep a row (empty ids)
-            toks.where(F.col("n_bpe_tokens") == 0).select(
-                "doc_id", "n_bpe_tokens",
+        .unionByName(  # docs with zero (or NULL-text → NULL-count)
+            # tokens keep a row: size(NULL array) is NULL, not 0, so an
+            # equality-only filter would silently drop NULL-text docs
+            # that bpe_encode itself still returns.
+            toks.where(F.col("n_bpe_tokens").isNull()
+                       | (F.col("n_bpe_tokens") == 0)).select(
+                "doc_id",
+                F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
                 F.array().cast("array<int>").alias("ids")))
     )

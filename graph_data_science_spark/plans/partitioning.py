@@ -85,7 +85,10 @@ def bucketed_exclusive_prefix(
 
     ``d[bucket_col]`` must hold integer bucket ids in ``[0, n_buckets)``
     whose boundaries respect the order (rows in bucket b sort before
-    every row in bucket b+1). With ``value`` set, ``out`` is the
+    every row in bucket b+1). Out-of-range ids are clamped into range
+    (a boundary value like ``u == 1.0`` mapping to ``n_buckets`` lands
+    in the last bucket) so the broadcast inner join can never silently
+    drop rows. With ``value`` set, ``out`` is the
     exclusive running SUM of ``value``; with ``value=None``, ``out`` is
     the exclusive running COUNT — i.e. ``out + 1`` is the exact 1-based
     global rank. The per-bucket totals (``n_buckets`` rows) are the only
@@ -98,6 +101,9 @@ def bucketed_exclusive_prefix(
 
     vcol = (F.col(value) if isinstance(value, str) else value) \
         if value is not None else F.lit(1)
+    d = d.withColumn(bucket_col, F.greatest(
+        F.lit(0), F.least(F.lit(int(n_buckets) - 1),
+                          F.col(bucket_col).cast("long"))))
     totals = {int(r["_b"]): int(r["t"]) for r in
               d.groupBy(F.col(bucket_col).alias("_b"))
                .agg(F.sum(vcol).alias("t")).collect()}

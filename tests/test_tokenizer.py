@@ -154,3 +154,22 @@ def test_bpe_encode_ids_frozen_vocab_oov(spark, docs):
            bpe_encode_ids(new, merges, vocab=vocab).collect()}
     assert -1 in out[99]["ids"]   # OOV symbols map to -1, not dropped
     assert len(out[99]["ids"]) == out[99]["n_bpe_tokens"]
+
+
+def test_bpe_encode_ids_null_text_keeps_row(spark, docs):
+    """NULL text → size(NULL tokens) is NULL, matching neither the
+    posexplode branch nor an == 0 filter; the doc must still get a row
+    with empty ids (regression: it silently vanished)."""
+    from graph_data_science_spark.operators.tokenizer import (
+        bpe_encode, bpe_encode_ids)
+
+    merges = bpe_train(docs, n_merges=4)
+    mixed = spark.createDataFrame(
+        [(1, "ab ab"), (2, None), (3, "")],
+        "doc_id long, text string")
+    enc = {r["doc_id"]: r for r in bpe_encode(mixed, merges).collect()}
+    ids = {r["doc_id"]: r for r in bpe_encode_ids(mixed, merges).collect()}
+    assert set(ids) == set(enc) == {1, 2, 3}
+    assert ids[2]["ids"] == [] and ids[2]["n_bpe_tokens"] == 0
+    assert ids[3]["ids"] == []
+    assert len(ids[1]["ids"]) == ids[1]["n_bpe_tokens"] > 0

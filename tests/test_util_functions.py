@@ -74,3 +74,24 @@ def test_node_property(spark):
         assert False
     except ValueError:
         pass
+
+
+def test_as_nodes_preserves_row_multiplicity(spark):
+    """Reference asNodes is strictly per-row: duplicate payload rows must
+    stay duplicates, and a df whose ONLY column is ids_col must still
+    yield one output row per input row (regression: payload-column
+    groupBy collapsed both cases)."""
+    g = _graph(spark)
+    dup = spark.createDataFrame(
+        [(10, [1]), (10, [1]), (10, [2])], "id long, ids array<long>")
+    rows = as_nodes(g, dup, "ids").collect()
+    assert len(rows) == 3
+    got = sorted((r["id"], tuple(n["node_id"] for n in r["nodes"]))
+                 for r in rows)
+    assert got == [(10, (1,)), (10, (1,)), (10, (2,))]
+
+    only = spark.createDataFrame([([1],), ([2, 3],), ([1],)],
+                                 "ids array<long>")
+    out = sorted(tuple(n["node_id"] for n in r["nodes"])
+                 for r in as_nodes(g, only, "ids").collect())
+    assert out == [(1,), (1,), (2, 3)]
