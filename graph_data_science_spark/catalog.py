@@ -350,16 +350,34 @@ class GraphCatalog:
         return g
 
     # -- WRITE-mode analog: persist results --------------------------------
-    def write_parquet(self, name: str, path: str) -> None:
-        """gds.graph.export analog — persist both tables as parquet
-        (our stand-in for Iceberg table writes; io/csv/.../GraphStoreToCsvExporter.java:39)."""
+    def export(self, name: str, target: str, table_format=None) -> None:
+        """gds.graph.export analog through the table-format seam
+        (sources/table_format.py; io/csv/.../GraphStoreToCsvExporter.java:39):
+        nodes and edges each become one table at ``<target>/nodes`` and
+        ``<target>/edges`` (a path prefix for parquet, a table-identifier
+        prefix for Iceberg). Default format is parquet — the sandbox has
+        no Iceberg runtime; pass ``IcebergFormat()`` on a cluster that
+        does and the same call becomes two Iceberg table commits."""
+        if table_format is None:
+            from graph_data_science_spark.sources.table_format import (
+                DEFAULT_FORMAT)
+            table_format = DEFAULT_FORMAT
         g = self.get(name)
-        g.nodes.write.mode("overwrite").parquet(f"{path}/nodes")
-        g.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        table_format.write(g.nodes, f"{target}/nodes")
+        table_format.write(g.edges, f"{target}/edges")
 
-    def read_parquet(self, name: str, path: str, directed: bool = True) -> Graph:
-        nodes = self.spark.read.parquet(f"{path}/nodes")
-        edges = self.spark.read.parquet(f"{path}/edges")
+    def write_parquet(self, name: str, path: str) -> None:
+        """Back-compat alias for :meth:`export` with the parquet format."""
+        self.export(name, path)
+
+    def read_parquet(self, name: str, path: str, directed: bool = True,
+                     table_format=None) -> Graph:
+        if table_format is None:
+            from graph_data_science_spark.sources.table_format import (
+                DEFAULT_FORMAT)
+            table_format = DEFAULT_FORMAT
+        nodes = table_format.read(self.spark, f"{path}/nodes")
+        edges = table_format.read(self.spark, f"{path}/edges")
         g = Graph(nodes=nodes, edges=edges, directed=directed, name=name)
         self._graphs[name] = g
         return g

@@ -345,6 +345,7 @@ def knn(
     method: str = "exact",
     max_iterations: int = 10,
     seed: int = 42,
+    auto_threshold: int = 200_000,
 ) -> DataFrame:
     """``gds.knn`` analog: k nearest neighbors by node-property similarity
     → (node1, node2, similarity).
@@ -357,12 +358,18 @@ def knn(
     O(n²) dot products: the right plan up to ~10⁷ vectors.
     ``method="nn_descent"``: the reference's own approximate algorithm
     (similarity/knn/Knn.java:51) via :func:`knn_nn_descent` — O(n·k²) per
-    round, the 10⁹-vector plan. Unavailable with filters (the reference's
-    filtered variant also runs its own path).
+    round, the 10⁹-vector plan. Filters run the reference's filtered-knn
+    design (filteredknn/FilteredKnn.java): the descent is unfiltered, a
+    target-only top-k list rides the state, and only source-filter nodes
+    emit rows.
+    ``method="auto"``: exact below ``auto_threshold`` vectors (the n²
+    kernel is cheaper than descent rounds there and exact beats
+    approximate at equal cost), nn-descent at or above it — the same
+    size-gated posture as ``node_similarity``'s
+    ``max_neighbor_frequency="auto"``. Recall stays ≥ 0.9 by the
+    nn-descent contract; the switch only ever moves the larger inputs
+    onto the subquadratic path.
     """
-    if method == "nn_descent":
-        if source_node_filter or target_node_filter:
-            raise ValueError("nn_descent does not support node filters")
     if isinstance(node_properties, str):
         node_properties = [node_properties]
     nodes = graph.nodes
@@ -375,9 +382,18 @@ def knn(
     else:
         vec = F.array(*[F.col(p).cast("double") for p in node_properties])
     vecs = nodes.select(F.col("node_id").alias("vec_id"), vec.alias("embedding"))
+    if method == "auto":
+        # one cheap count decides the posture; the threshold is the point
+        # where n² dot products outgrow O(n·k²·rounds) on this kernel
+        method = ("nn_descent" if vecs.count() >= int(auto_threshold)
+                  else "exact")
     if method == "nn_descent":
+        src_df = (nodes.where(F.expr(source_node_filter)).select("node_id")
+                  if source_node_filter is not None else None)
+        tgt_df = (nodes.where(F.expr(target_node_filter)).select("node_id")
+                  if target_node_filter is not None else None)
         out = knn_nn_descent(vecs, k=top_k, max_iterations=max_iterations,
-                             seed=seed)
+                             seed=seed, source_ids=src_df, target_ids=tgt_df)
         return out.select(
             F.col("vec_id").alias("node1"),
             F.col("neighbor_id").alias("node2"),
@@ -500,6 +516,8 @@ def knn_nn_descent(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_ids: DataFrame | None = None,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """NN-descent approximate cosine top-k → (vec_id, neighbor_id, cosine).
 
@@ -531,6 +549,22 @@ def knn_nn_descent(
     one side, cutting a round to O(n·k²·rate) (reference sampledListSize).
     Output is approximate by contract; tests assert recall ≥ 0.9 against
     the exact tiled GEMM at small scale.
+
+    Filtered variant (the reference's ``gds.knn.filtered``,
+    filteredknn/FilteredKnn.java): the descent itself runs UNfiltered —
+    every node participates, exactly like the reference's unmodified Knn
+    delegate — while a second per-node list (``tnbrs``) rides the state
+    and accumulates the top-k among the TARGET-passing candidates each
+    round ever scores (TargetNodeFiltering.java: every considered
+    neighbour is offered to a per-node target-filter consumer). The
+    target list is additionally seeded with hash-random candidates drawn
+    from the target set (the reference's optional default seeding,
+    FilteredKnn.createWithDefaultSeeding), so a sparse target set still
+    fills its lists. Output rows come from ``tnbrs`` restricted to
+    ``source_ids`` (FilteredKnn.java streamSimilarityResult: only
+    source-filter nodes emit). Both filters are id DataFrames (first
+    column = node id); semi-joins keep them scale-safe — nothing is
+    collected, and a billion-row target set shuffles like any dimension.
     """
     from graph_data_science_spark.operators.embeddings import _u01
     from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
@@ -549,6 +583,12 @@ def knn_nn_descent(
     ).persist()
     n = unit.count()
     ids = unit.select(F.col("_id"))
+    tgt = None
+    if target_ids is not None:
+        tgt = (target_ids.select(
+            F.col(target_ids.columns[0]).cast("long").alias("c"))
+            .dropDuplicates(["c"]).persist())
+        n_t = max(1, tgt.count())
 
     def _score(cand: DataFrame) -> DataFrame:
         """(u, c) pairs → (u, c, cosine) via two vector joins + zip_with."""
@@ -560,24 +600,30 @@ def knn_nn_descent(
         return (cand.join(a, "u").join(b, "c")
                 .select("u", "c", F.round(dot, 6).alias("s")))
 
-    def _rand_cands(slots: int, tag: str) -> DataFrame:
+    def _rand_cands(slots: int, tag: str, pool: DataFrame | None = None,
+                    pool_n: int | None = None) -> DataFrame:
         """~slots deterministic hash-random candidate ids per node via a
         BUCKET join (scale-safe — no global sort/window): every candidate id
         hashes into one of n buckets per round tag; each (node, slot) draws
         a bucket. Bucket occupancy is ~Poisson(1), so a node receives about
         ``slots`` candidates (the variance is immaterial — NN-descent's
-        local join dominates after round 1)."""
+        local join dominates after round 1). ``pool`` (ids in a column
+        named ``c``) restricts the candidate universe — used to seed the
+        filtered variant's target lists."""
+        pn = int(pool_n) if pool is not None else n
+        cand_ids = (pool.select("c") if pool is not None
+                    else ids.select(F.col("_id").alias("c")))
         tagged = ids.select(
             F.col("_id").alias("u"),
             F.explode(F.array(*[F.lit(i) for i in range(slots)])).alias("_slot"))
-        bucketed = ids.select(
-            F.col("_id").alias("c"),
-            F.pmod(F.hash(F.col("_id"), F.lit(tag), F.lit(int(seed))),
-                   F.lit(n)).alias("_bk"))
+        bucketed = cand_ids.select(
+            "c",
+            F.pmod(F.hash(F.col("c"), F.lit(tag), F.lit(int(seed))),
+                   F.lit(pn)).alias("_bk"))
         pick = tagged.select(
             "u",
             F.pmod(F.hash(F.col("u"), F.col("_slot"), F.lit(tag),
-                          F.lit(int(seed) + 7)), F.lit(n)).alias("_bk"))
+                          F.lit(int(seed) + 7)), F.lit(pn)).alias("_bk"))
         return pick.join(bucketed, "_bk").where(F.col("u") != F.col("c")) \
             .select("u", "c")
 
@@ -589,12 +635,29 @@ def knn_nn_descent(
                   .groupBy("u")
                   .agg(F.array_sort(F.collect_list(
                       F.struct(F.col("c"), F.col("s")))).alias("nbrs")))
+    empty_list = F.array().cast("array<struct<c:bigint,s:double>>")
     state0 = (ids.select(F.col("_id").alias("u"))
               .join(init_lists, "u", "left")
-              .select("u",
-                      F.coalesce("nbrs", F.array().cast(
-                          "array<struct<c:bigint,s:double>>")).alias("nbrs"),
+              .select("u", F.coalesce("nbrs", empty_list).alias("nbrs"),
                       F.lit(1).cast("int").alias(ACTIVE_COL)))
+    if tgt is not None:
+        # seed the target lists: init candidates that pass the filter plus
+        # fresh hash-random draws FROM the target pool (the reference's
+        # default seeding — a sparse target set still fills its lists)
+        t_seed = _score(
+            _rand_cands(kk + 2, "tinit", pool=tgt, pool_n=n_t)
+            .dropDuplicates(["u", "c"]))
+        t_pairs = (init_pairs.join(tgt, "c", "left_semi")
+                   .unionByName(t_seed).dropDuplicates(["u", "c"]))
+        t_lists = (t_pairs.withColumn("_rn", F.row_number().over(w_rank))
+                   .where(F.col("_rn") <= kk)
+                   .groupBy("u")
+                   .agg(F.array_sort(F.collect_list(
+                       F.struct(F.col("c"), F.col("s")))).alias("tnbrs")))
+        state0 = (state0.join(t_lists, "u", "left")
+                  .select("u", "nbrs",
+                          F.coalesce("tnbrs", empty_list).alias("tnbrs"),
+                          ACTIVE_COL))
 
     driver = Pregel(
         spark, max_iterations=int(max_iterations),
@@ -603,11 +666,14 @@ def knn_nn_descent(
         fuse=1,
         manifest={"algorithm": "knn_nn_descent", "k": kk, "seed": int(seed)})
 
+    carry = ["nbrs"] if tgt is None else ["nbrs", "tnbrs"]
+
     def step(st: DataFrame, superstep: int) -> DataFrame:
         hist = driver.metrics_so_far
         if hist and hist[-1]["active"] <= delta_threshold * n:
             # converged under the reference's delta rule: silence everyone
-            return st.select("u", "nbrs", F.lit(0).cast("int").alias(ACTIVE_COL))
+            return st.select("u", *carry,
+                             F.lit(0).cast("int").alias(ACTIVE_COL))
         cur = st.select("u", F.explode("nbrs").alias("_e")) \
             .select("u", F.col("_e.c").alias("c"))
         # symmetrize, then neighbor-of-neighbor local join; sample one side
@@ -633,20 +699,46 @@ def knn_nn_descent(
                      .groupBy("u")
                      .agg(F.array_sort(F.collect_list(
                          F.struct(F.col("c"), F.col("s")))).alias("nbrs2")))
-        out = st.join(new_lists, "u", "left").select(
+        out = st.join(new_lists, "u", "left")
+        if tgt is not None:
+            # offer every freshly-scored pair to the per-node target list
+            # (TargetNodeFiltering.java: the consumer sees each considered
+            # neighbour), merge with the incumbents, re-rank to top-k
+            t_merged = (scored.join(tgt, "c", "left_semi").unionByName(
+                st.select("u", F.explode("tnbrs").alias("_e"))
+                .select("u", F.col("_e.c").alias("c"),
+                        F.col("_e.s").alias("s"))).dropDuplicates(["u", "c"]))
+            t_lists = (t_merged.withColumn("_rn", F.row_number().over(w_rank))
+                       .where(F.col("_rn") <= kk)
+                       .groupBy("u")
+                       .agg(F.array_sort(F.collect_list(
+                           F.struct(F.col("c"), F.col("s")))).alias("tnbrs2")))
+            out = out.join(t_lists, "u", "left")
+        sel = [
             "u",
-            F.coalesce("nbrs2", "nbrs").alias("_new"),
-            F.col("nbrs").alias("_old"))
-        return out.select(
-            "u", F.col("_new").alias("nbrs"),
-            (F.col("_new") != F.col("_old")).cast("int").alias(ACTIVE_COL))
+            F.coalesce("nbrs2", "nbrs").alias("nbrs"),
+            *([F.coalesce("tnbrs2", "tnbrs").alias("tnbrs")]
+              if tgt is not None else []),
+            (F.coalesce("nbrs2", "nbrs") != F.col("nbrs"))
+            .cast("int").alias(ACTIVE_COL),
+        ]
+        return out.select(*sel)
 
     res = driver.run(state0, step)
     unit.unpersist()
-    out = res.state.select("u", F.explode("nbrs").alias("_e")).select(
-        F.col("u").alias("vec_id"),
-        F.col("_e.c").alias("neighbor_id"),
-        F.col("_e.s").alias("cosine"))
+    out_src = res.state
+    if source_ids is not None:
+        src = source_ids.select(
+            F.col(source_ids.columns[0]).cast("long").alias("u"))
+        out_src = out_src.join(src.dropDuplicates(["u"]), "u", "left_semi")
+    out = (out_src
+           .select("u", F.explode("tnbrs" if tgt is not None else "nbrs")
+                   .alias("_e"))
+           .select(F.col("u").alias("vec_id"),
+                   F.col("_e.c").alias("neighbor_id"),
+                   F.col("_e.s").alias("cosine")))
+    if tgt is not None:
+        tgt.unpersist()
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (out.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= kk).drop("_rn"))

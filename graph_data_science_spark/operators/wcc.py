@@ -63,11 +63,16 @@ def wcc(
         if "weight" not in e.columns:
             raise ValueError("threshold requires edges.weight")
         e = e.where(F.col("weight") > float(threshold))
-    # WCC ignores direction: mirror every edge once, up front.
+    # WCC ignores direction: mirror every edge once, up front. NO dedup —
+    # min-label propagation is idempotent, so parallel/mirrored duplicate
+    # edges contribute the same min and the per-superstep map-side combine
+    # collapses them for free; a distinct here would cost a full shuffle
+    # of the edge table (measured 1.8 s of an 8.4 s sf0.1 run, removing
+    # ZERO rows) and at 10^12 edges that shuffle is the whole job.
     e = e.select("src", "dst")
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).where(F.col("src") != F.col("dst")).distinct().persist()
+    ).where(F.col("src") != F.col("dst")).persist()
 
     if seed_property is not None:
         if seed_property not in graph.nodes.columns:

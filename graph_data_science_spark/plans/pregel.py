@@ -104,16 +104,20 @@ class _SnapshotWriter:
     Runs the write off the superstep critical path; the caller joins it
     before unpersisting the state it reads. Exceptions surface at join."""
 
-    def __init__(self, df: DataFrame, path: str):
+    def __init__(self, df: DataFrame, path: str, fmt=None):
         self._df = df
         self._path = path
+        self._fmt = fmt
         self._exc: BaseException | None = None
         import threading
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def _run(self) -> None:
         try:
-            self._df.write.mode("overwrite").parquet(self._path)
+            if self._fmt is not None:
+                self._fmt.write(self._df, self._path)
+            else:
+                self._df.write.mode("overwrite").parquet(self._path)
         except BaseException as e:  # pragma: no cover - surfaced at join
             self._exc = e
 
@@ -146,9 +150,23 @@ class Pregel:
         manifest: dict | None = None,
         truncation: str | None = None,
         fuse: int | None = None,
+        table_format=None,
     ):
         self.spark = spark
         self.max_iterations = max_iterations
+        # Durable-snapshot format seam (sources/table_format.py): parquet
+        # here (the sandbox default); a real deployment passes
+        # IcebergFormat so every checkpoint snapshot is an Iceberg table
+        # commit with a recorded snapshot id — the north rule's
+        # "vertex-state Iceberg snapshots with per-partition lineage".
+        # Only DURABLE snapshots route through the seam; the per-superstep
+        # scratch truncation is engine-internal perf machinery and stays
+        # on raw parquet regardless of format.
+        if table_format is None:
+            from graph_data_science_spark.sources.table_format import (
+                DEFAULT_FORMAT)
+            table_format = DEFAULT_FORMAT
+        self.table_format = table_format
         # Superstep FUSION (module doc #4): run `fuse` supersteps as ONE lazy
         # Catalyst plan and materialize/truncate only at block ends. The
         # per-superstep job barrier + scratch round-trip is the engine's
@@ -375,7 +393,8 @@ class Pregel:
         last = self.latest_snapshot()
         if last is None:
             return None
-        return self.spark.read.parquet(self._state_path(last)), last + 1
+        return (self.table_format.read(self.spark, self._state_path(last)),
+                last + 1)
 
     # -- the loop -------------------------------------------------------------
     def run(
@@ -471,10 +490,13 @@ class Pregel:
                 new_state, new_rdd = self._mem_truncate(new_state)
                 state_on_scratch = False
             elif do_snapshot:
-                # sync parquet snapshot (truncation="parquet" legacy path)
+                # sync durable snapshot (truncation="parquet" legacy path)
+                # via the table-format seam
                 with self._aqe_ctx():
-                    new_state.write.mode("overwrite").parquet(self._state_path(block_end))
-                new_state = self.spark.read.parquet(self._state_path(block_end))
+                    self.table_format.write(
+                        new_state, self._state_path(block_end))
+                new_state = self.table_format.read(
+                    self.spark, self._state_path(block_end))
                 state_on_scratch = True
             else:
                 new_state = self._scratch_truncate(new_state, block_end)
@@ -488,7 +510,8 @@ class Pregel:
                 self._retire_prev(new_rdd)
                 if do_snapshot:
                     self._writer = _SnapshotWriter(
-                        new_state, self._state_path(block_end))
+                        new_state, self._state_path(block_end),
+                        fmt=self.table_format)
                     self._writer.start()
             active = row.pop("active") or 0
             rec = {

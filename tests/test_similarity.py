@@ -183,8 +183,62 @@ def test_knn_method_dispatch(spark):
     got = {r["node1"]: r["node2"]
            for r in knn(g, ["x", "y"], top_k=1, method="nn_descent").collect()}
     assert got == {0: 1, 1: 0, 2: 3, 3: 2}
-    with pytest.raises(ValueError, match="filters"):
-        knn(g, ["x", "y"], method="nn_descent", source_node_filter="node_id<2")
+    # filtered nn-descent (FilteredKnn.java design): sources {0,1} emit,
+    # neighbors restricted to targets {2,3} — same answer as filtered exact
+    rows = knn(g, ["x", "y"], top_k=1, method="nn_descent",
+               source_node_filter="node_id <= 1",
+               target_node_filter="node_id >= 2").collect()
+    fgot = {r["node1"]: r["node2"] for r in rows}
+    assert set(fgot) == {0, 1} and fgot[0] == 3 and fgot[1] == 3
+
+
+def test_nn_descent_filtered_recall(vecs):
+    """Filtered nn-descent: target-only lists must reach ≥0.9 mean recall
+    against the filtered EXACT kernel (index restricted to targets,
+    queries to sources), and never emit a non-target neighbor or a
+    non-source query row."""
+    from graph_data_science_spark.operators.similarity import knn_nn_descent
+
+    targets = vecs.where("vec_id % 2 = 0").select("vec_id")
+    sources = vecs.where("vec_id < 25").select("vec_id")
+    exact = cosine_topk(vecs.join(targets, "vec_id", "left_semi"), k=5,
+                        queries=vecs.join(sources, "vec_id", "left_semi")
+                        ).collect()
+    approx = knn_nn_descent(vecs, k=5, max_iterations=8, seed=42,
+                            source_ids=sources, target_ids=targets).collect()
+    assert all(r["neighbor_id"] % 2 == 0 for r in approx)
+    assert all(r["vec_id"] < 25 for r in approx)
+    e, a = {}, {}
+    for r in exact:
+        e.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        a.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_knn_auto_posture(spark):
+    """method='auto' picks exact below the vector-count threshold
+    (bit-identical to the exact path) and nn-descent at/above it
+    (bit-identical to the nn_descent path, recall guaranteed by its own
+    contract test)."""
+    from graph_data_science_spark.graph import Graph, edges_from_tuples
+    from graph_data_science_spark.operators.similarity import knn
+
+    nodes = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, 0.9, 0.1), (2, 0.0, 1.0), (3, 0.1, 0.9)],
+        "node_id long, x double, y double")
+    g = Graph(nodes=nodes, edges=edges_from_tuples(spark, [(0, 1)]))
+    exact = sorted(map(tuple, knn(g, ["x", "y"], top_k=2,
+                                  method="exact").collect()))
+    below = sorted(map(tuple, knn(g, ["x", "y"], top_k=2, method="auto",
+                                  auto_threshold=1000).collect()))
+    assert below == exact
+    nnd = sorted(map(tuple, knn(g, ["x", "y"], top_k=2,
+                                method="nn_descent").collect()))
+    above = sorted(map(tuple, knn(g, ["x", "y"], top_k=2, method="auto",
+                                  auto_threshold=1).collect()))
+    assert above == nnd
 
 
 def test_node_similarity_auto_cap_engages_on_hub(spark):

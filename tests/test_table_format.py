@@ -1,0 +1,96 @@
+"""The table-format seam (sources/table_format.py): parquet default,
+Iceberg adapter gated on a runtime this sandbox doesn't ship."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.sources.table_format import (
+    IcebergFormat,
+    ParquetFormat,
+    iceberg_runtime_available,
+)
+
+
+def test_parquet_format_roundtrip(spark, tmp_path):
+    fmt = ParquetFormat()
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    fmt.write(df, str(tmp_path / "t"))
+    back = fmt.read(spark, str(tmp_path / "t"))
+    assert sorted(r["v"] for r in back.collect()) == [2 * i for i in range(10)]
+    assert fmt.snapshot_id(spark, str(tmp_path / "t")) is None
+
+
+def test_catalog_export_roundtrip_through_seam(spark, tmp_path):
+    from graph_data_science_spark.catalog import GraphCatalog
+    from graph_data_science_spark.graph import Graph, edges_from_tuples
+
+    cat = GraphCatalog(spark)
+    nodes = spark.createDataFrame([(1, "a"), (2, "b")], ["node_id", "name"])
+    cat._graphs["g"] = Graph(
+        nodes=nodes, edges=edges_from_tuples(spark, [(1, 2)]), name="g")
+    cat.export("g", str(tmp_path / "exp"))
+    back = cat.read_parquet("g2", str(tmp_path / "exp"))
+    assert back.nodes.count() == 2 and back.edges.count() == 1
+
+
+def test_pregel_snapshots_route_through_format(spark, tmp_path):
+    """A counting format wrapper must see every durable checkpoint write
+    and serve the resume read — proving the seam is the ONLY durable
+    snapshot path (scratch truncation stays engine-internal)."""
+    from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
+
+    class Counting(ParquetFormat):
+        writes = 0
+        reads = 0
+
+        def write(self, df, target):
+            Counting.writes += 1
+            super().write(df, target)
+
+        def read(self, s, target):
+            Counting.reads += 1
+            return super().read(s, target)
+
+    fmt = Counting()
+    ck = str(tmp_path / "ck")
+    driver = Pregel(spark, max_iterations=3, checkpoint_dir=ck,
+                    snapshot_interval=1, table_format=fmt,
+                    manifest={"algorithm": "fmt_test"})
+    state0 = spark.range(4).select(
+        F.col("id").alias("node_id"), F.col("id").alias("x"),
+        F.lit(1).cast("int").alias(ACTIVE_COL))
+
+    def step(st, i):
+        return st.select(
+            "node_id", (F.col("x") + 1).alias("x"),
+            F.when(F.col("x") < 2, 1).otherwise(0)
+            .cast("int").alias(ACTIVE_COL))
+
+    driver.run(state0, step)
+    assert Counting.writes >= 1
+
+    resumer = Pregel(spark, max_iterations=3, checkpoint_dir=ck,
+                     table_format=fmt, manifest={"algorithm": "fmt_test"})
+    resumed = resumer.resume_state()
+    assert resumed is not None and Counting.reads >= 1
+
+
+def test_iceberg_runtime_absent_is_detected(spark):
+    """This sandbox ships no iceberg-spark runtime; the availability probe
+    must say so (and the adapter test below stays skipped until a real
+    deployment provides one)."""
+    assert iceberg_runtime_available(spark) is False
+
+
+def test_iceberg_format_roundtrip(spark):
+    """Runs for real the moment a deployment provides the runtime
+    (iceberg-spark-runtime jar + a spark.sql.catalog.* entry); skipped —
+    not faked — in this sandbox."""
+    if not iceberg_runtime_available(spark):
+        pytest.skip("no Iceberg runtime in this sandbox "
+                    "(iceberg-spark-runtime jar + catalog conf required)")
+    fmt = IcebergFormat()
+    df = spark.range(5)
+    fmt.write(df, "local.db.t")
+    assert fmt.read(spark, "local.db.t").count() == 5
+    assert fmt.snapshot_id(spark, "local.db.t") is not None
