@@ -86,13 +86,36 @@ def test_train_reduces_loss_and_is_deterministic(spark, g):
     feats = degree_features(g)
     w1, hist1 = graphsage_train(g, feats, [3, 4, 4], epochs=10,
                                 learning_rate=0.2, seed=3,
-                                return_history=True)
+                                return_history=True, mode="parity")
     w2, hist2 = graphsage_train(g, feats, [3, 4, 4], epochs=10,
                                 learning_rate=0.2, seed=3,
-                                return_history=True)
+                                return_history=True, mode="parity")
     assert (w1, hist1) == (w2, hist2)  # bit-reproducible parity mode
     # fixed-negative full-batch objective descends
     assert hist1[-1] < hist1[0]
+
+
+def test_train_distributed_descends_and_partition_invariant(spark, g):
+    """The DEFAULT trainer: executor-resident state, integer-fixed-point
+    reductions. Bit-identical weights and loss history at 2 vs 8 shuffle
+    partitions (the local[2]/local[8] proxy — every cross-row sum is an
+    integer, so no float summation-order dependence exists), and the
+    full-batch loss descends."""
+    feats = degree_features(g)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        w2, h2 = graphsage_train(g, feats, [3, 4, 4], epochs=4,
+                                 learning_rate=0.1, seed=3,
+                                 return_history=True)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        w8, h8 = graphsage_train(g, feats, [3, 4, 4], epochs=4,
+                                 learning_rate=0.1, seed=3,
+                                 return_history=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert (w2, h2) == (w8, h8)
+    assert h2[-1] < h2[0]
 
 
 def test_trained_weights_feed_distributed_predict(spark, g):
@@ -131,5 +154,6 @@ def test_train_smoke_100k_nodes(spark):
         F.array((F.col("node_id") % 17).cast("double"),
                 (F.col("node_id") % 5).cast("double")).alias("features"))
     weights, hist = graphsage_train(
-        g, feats, layer_dims=[2, 4], epochs=1, return_history=True)
+        g, feats, layer_dims=[2, 4], epochs=1, return_history=True,
+        mode="parity")
     assert len(weights) == 1 and np.isfinite(hist[0])
