@@ -2456,21 +2456,32 @@ g AS (SELECT hh, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_
       FROM h GROUP BY hh)
 SELECT h.doc_id, g.canonical_id, g.group_size FROM h JOIN g ON h.hh = g.hh"""
 
+    # integer universal family hashed ONCE per shingle (operators/dedup.py
+    # minhash_signatures round-4 rewrite): base = md5 hex -> BIGINT mod P,
+    # h_k = (a_k*base + b_k) mod P — exact int64 on both engines
     o["minhash_signatures"] = f"""
 WITH {_shingle_cte(3).strip()},
-ks AS (SELECT doc_id, h, shingle FROM sh, (SELECT unnest(range(0, 8)) AS h) hs)
-SELECT doc_id, CAST(h AS INT) AS h,
-       MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
-FROM ks GROUP BY doc_id, h"""
+mb AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000003 AS base FROM sh),
+ks AS (SELECT doc_id, base, h FROM mb, (SELECT unnest(range(0, 8)) AS h) hs),
+mh AS (SELECT doc_id, h,
+              CAST(MIN(((((h+1)*2654435761) % 1000003) * base
+                        + (((h+1)*40503) % 1000003)) % 1000003) AS BIGINT)
+                  AS minhash
+       FROM ks GROUP BY doc_id, h)
+SELECT doc_id, CAST(h AS INT) AS h, minhash FROM mh"""
 
     o["minhash_lsh_pairs"] = f"""
 WITH {_shingle_cte(3).strip()},
-ks AS (SELECT doc_id, h, shingle FROM sh, (SELECT unnest(range(0, 8)) AS h) hs),
-mh AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+mb AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000003 AS base FROM sh),
+ks AS (SELECT doc_id, base, h FROM mb, (SELECT unnest(range(0, 8)) AS h) hs),
+mh AS (SELECT doc_id, h,
+              CAST(MIN(((((h+1)*2654435761) % 1000003) * base
+                        + (((h+1)*40503) % 1000003)) % 1000003) AS BIGINT)
+                  AS minhash
        FROM ks GROUP BY doc_id, h),
 bh AS (SELECT doc_id, CAST(h // 2 AS INT) AS band,
-              md5(string_agg(CAST(h AS VARCHAR) || '=' || minhash, ','
-                             ORDER BY CAST(h AS VARCHAR) || '=' || minhash)) AS bhash
+              md5(string_agg(CAST(h AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), ','
+                             ORDER BY CAST(h AS VARCHAR) || '=' || CAST(minhash AS VARCHAR))) AS bhash
        FROM mh GROUP BY doc_id, h // 2)
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bh l JOIN bh r ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id"""
@@ -2600,12 +2611,16 @@ SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.35"""
     # pair graph converges in <=3; rounds after convergence are idempotent).
     ndc_rounds = 8
     ndc_parts = [f"""WITH {_shingle_cte(3).strip()},
-ks AS (SELECT doc_id, h, shingle FROM sh, (SELECT unnest(range(0, 8)) AS h) hs),
-mh AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+mb AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000003 AS base FROM sh),
+ks AS (SELECT doc_id, base, h FROM mb, (SELECT unnest(range(0, 8)) AS h) hs),
+mh AS (SELECT doc_id, h,
+              CAST(MIN(((((h+1)*2654435761) % 1000003) * base
+                        + (((h+1)*40503) % 1000003)) % 1000003) AS BIGINT)
+                  AS minhash
        FROM ks GROUP BY doc_id, h),
 bh AS (SELECT doc_id, CAST(h // 2 AS INT) AS band,
-              md5(string_agg(CAST(h AS VARCHAR) || '=' || minhash, ','
-                             ORDER BY CAST(h AS VARCHAR) || '=' || minhash)) AS bhash
+              md5(string_agg(CAST(h AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), ','
+                             ORDER BY CAST(h AS VARCHAR) || '=' || CAST(minhash AS VARCHAR))) AS bhash
        FROM mh GROUP BY doc_id, h // 2),
 pr AS MATERIALIZED (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       FROM bh l JOIN bh r ON l.band = r.band AND l.bhash = r.bhash

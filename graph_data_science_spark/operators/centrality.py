@@ -68,7 +68,10 @@ def msbfs(graph: Graph, sources: list[int] | None = None,
             new = cand.join(state.select("s", "v"), ["s", "v"], "left_anti") \
                 .select("s", "v", F.lit(r).cast("long").alias("dist"), "sigma")
             new = scratch.truncate(new, "frontier")
-            if new.isEmpty():
+            # truncate already observed the row count — reading it is free,
+            # where isEmpty() was one extra job per BFS level (O(diameter)
+            # jobs per run, the measured per-level overhead in betweenness)
+            if scratch._rows.get("frontier", 0) == 0:
                 break
             state = scratch.truncate(state.unionByName(new), "state")
             frontier = new

@@ -128,7 +128,7 @@ def k1coloring(graph: Graph, max_rounds: int = 50) -> DataFrame:
                             & (F.col("src") > F.col("dst")))
                      .select(F.col("src").alias("node_id")).distinct())
             confl = scratch.truncate(confl, "confl")
-            if confl.isEmpty():
+            if scratch._rows.get("confl", 0) == 0:  # count rode truncate
                 break
             # smallest color in 0..deg not used by any neighbor (prev round)
             nbr_colors = (edges.join(confl.withColumnRenamed("node_id", "src"),

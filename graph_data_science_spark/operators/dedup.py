@@ -58,27 +58,45 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
+#: prime modulus of the integer minhash family (fits every product below
+#: in exact int64 on both engines: a_k, base < P ⇒ a_k·base < ~1e12)
+_MH_P = 1_000_003
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
                        shingle_n: int = 3) -> DataFrame:
     """MinHash signature rows → ``(doc_id, h (hash index), minhash)``.
 
-    Hash family k = md5('k:' || shingle); the minimum is taken over the hex
-    strings (lexicographic = numeric order for fixed-width hex) — portable
-    to any engine with md5.
+    The classic universal family, hashed ONCE per shingle: ``base =
+    int(md5(shingle)[:15 hex]) mod P`` and ``h_k = (a_k·base + b_k) mod
+    P`` with ``a_k = (k+1)·2654435761 mod P``, ``b_k = (k+1)·40503 mod
+    P`` (P = 1,000,003 prime). Rounds 1-3 computed ``md5(k || shingle)``
+    per hash index — k× the hashing work; at 10¹² documents with a
+    production-sized family (k = 128) that multiplier IS the signature
+    job, so deriving the family from one digest is the scale fix, not a
+    micro-optimization. All arithmetic is exact int64, bit-identical on
+    any engine with md5 + 64-bit integers (the DuckDB oracle mirrors it
+    via ``CAST('0x' || SUBSTRING(md5(s),1,15) AS BIGINT)``).
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    ks = sh.select(
+    base = sh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        F.col("shingle"),
+        (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+         .cast("long") % _MH_P).alias("_base"),
     )
+    ks = base.select(
+        "doc_id", "_base",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+    )
+    a = ((F.col("h") + 1) * F.lit(2654435761)) % _MH_P
+    b = ((F.col("h") + 1) * F.lit(40503)) % _MH_P
     return ks.select(
         "doc_id", "h",
-        F.md5(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle"))).alias("_hv"),
+        ((a * F.col("_base") + b) % _MH_P).alias("_hv"),
     ).groupBy("doc_id", "h").agg(F.min("_hv").alias("minhash"))
 
 

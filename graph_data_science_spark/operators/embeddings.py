@@ -491,7 +491,7 @@ def random_walks(
                        .select("walk_id", F.lit(step).cast("long").alias("step"),
                                F.col("dst").alias("node_id")))
                 nxt = scratch.truncate(nxt, "cur")
-                if nxt.isEmpty():
+                if scratch._rows.get("cur", 0) == 0:  # count rode truncate
                     break
                 out = scratch.truncate(out.unionByName(nxt), "out")
                 cur = nxt
@@ -534,7 +534,7 @@ def random_walks(
                        .select("walk_id", F.col("cur").alias("prev"),
                                F.col("cand").alias("node_id")))
             nxt = scratch.truncate(nxt, "cur2")
-            if nxt.isEmpty():
+            if scratch._rows.get("cur2", 0) == 0:  # count rode truncate
                 break
             out = scratch.truncate(out.unionByName(
                 nxt.select("walk_id", F.lit(step).cast("long").alias("step"),

@@ -604,6 +604,14 @@ ESTIMATOR_FOR_QUERY = {
     "embedding_near_duplicates": "cosine_topk",
     "embedding_cosine_topk_ivf": "cosine_topk_ivf",
     "knn_embeddings": "knn",
+    # round-4: filtered exact knn runs the tiled-GEMM kernel on the
+    # filtered index/query sides; the descent variant shares knn's
+    # list-state shape (the target list doubles per-node list state, a
+    # constant factor inside the same family)
+    "knn_filtered": "cosine_topk",
+    "knn_filtered_nn_descent": "knn",
+    # round-4: deterministic leiden runs the same multilevel state as leiden
+    "leiden_deterministic": "leiden",
     "spanning_tree": "spanning_tree", "sample_cnarw": "random_walks",
     "near_duplicate_clusters": "near_dup_clusters",
     "corpus_vocabulary": "corpus_vocabulary",

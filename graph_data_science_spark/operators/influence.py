@@ -77,7 +77,7 @@ def influence_maximization_celf(
                    .distinct()
                    .join(reach, ["cand", "sim", "node_id"], "left_anti"))
             nxt = scratch.truncate(nxt, "frontier")
-            if nxt.isEmpty():
+            if scratch._rows.get("frontier", 0) == 0:  # count rode truncate
                 break
             reach = scratch.truncate(reach.unionByName(nxt), "reach")
             frontier = nxt

@@ -55,17 +55,34 @@ def near_duplicate_clusters(
     similarity graph — the reference's own suggested dedup recipe (its WCC
     docs use exactly this entity-resolution framing).
     """
-    pairs = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, shingle_n)
-    nodes = docs.select(F.col(id_col).alias("node_id"))
-    g = Graph(nodes=nodes,
+    # one terminal materialization: the LSH pipeline (the expensive leg)
+    # must run ONCE — endpoints, the edge mirror inside wcc, and the final
+    # join all read the materialized pair table, not the lineage
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=True)
+    # WCC state = PAIR ENDPOINTS ONLY (round 4): a doc with no LSH
+    # candidate is its own singleton by construction, so it never needs to
+    # ride a superstep — the component table is near-dup-density-sized,
+    # not corpus-sized, and the corpus-wide answer is one left join +
+    # coalesce at the end. At 10^12 docs this is the difference between
+    # iterating over the corpus and iterating over the (tiny) pair graph.
+    endpoints = (pairs.select(F.col("a").alias("node_id"))
+                 .unionByName(pairs.select(F.col("b").alias("node_id")))
+                 .distinct())
+    g = Graph(nodes=endpoints,
               edges=pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
               directed=True, name="lsh-pairs")
     comp = wcc(g).components
-    return comp.select(
-        F.col("node_id").alias("doc_id"),
-        F.col("component").alias("cluster_id"),
-        (F.col("node_id") != F.col("component")).alias("is_duplicate"),
-    )
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(comp.select(F.col("node_id").alias("doc_id"),
+                              F.col("component")), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+                (F.col("doc_id") != F.coalesce("component", F.col("doc_id")))
+                .alias("is_duplicate"),
+            ))
 
 
 def near_duplicate_keep(

@@ -97,7 +97,7 @@ def _sweep_reach(edges: DataFrame, colored: DataFrame, scratch: _Scratch,
             .select(F.col("src").alias("node_id"), "color").distinct())
         new = cand.join(reached, ["node_id", "color"], "left_anti")
         new = scratch.truncate(new, "reachf")
-        if new.isEmpty():
+        if scratch._rows.get("reachf", 0) == 0:  # count rode the truncate
             break
         reached = scratch.truncate(reached.unionByName(new), "reach")
         frontier = new
@@ -131,13 +131,13 @@ def scc(graph: Graph, max_outer: int = 30, max_label_rounds: int = 60,
                 trimmed = alive.join(keep, "node_id", "left_anti") \
                     .select("node_id", F.col("node_id").alias("component"))
                 trimmed = scratch.truncate(trimmed, "trimmed")
-                if trimmed.isEmpty():
+                if scratch._rows.get("trimmed", 0) == 0:
                     break
                 assigned = trimmed if assigned is None else \
                     assigned.unionByName(trimmed)
                 assigned = scratch.truncate(assigned, "assigned")
                 alive = keep
-            if alive.isEmpty():
+            if scratch._rows.get("keep", 0) == 0:  # alive IS last "keep"
                 break
             ae = (edges
                   .join(alive.withColumnRenamed("node_id", "src"), "src", "left_semi")

@@ -55,7 +55,7 @@ def spanning_forest(graph: Graph, max_rounds: int = 30) -> DataFrame:
                               F.col("_e.weight").alias("weight"))
                       .distinct())
             picked = scratch.truncate(picked, "picked")
-            if picked.isEmpty():
+            if scratch._rows.get("picked", 0) == 0:  # count rode truncate
                 break
             mst = picked if mst is None else mst.unionByName(picked).distinct()
             mst = scratch.truncate(mst, "mst")
@@ -118,7 +118,7 @@ def spanning_tree(graph: Graph, start_node: int, max_rounds: int = 30) -> DataFr
                 .select(F.col("dst").alias("node_id")).distinct() \
                 .join(seen, "node_id", "left_anti")
             nxt = scratch.truncate(nxt, "frontier")
-            if nxt.isEmpty():
+            if scratch._rows.get("frontier", 0) == 0:  # count rode truncate
                 break
             seen = scratch.truncate(seen.unionByName(nxt), "seen")
             frontier = nxt

@@ -39,23 +39,31 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from graph_data_science_spark.operators.dedup import _word_shingles
+from graph_data_science_spark.operators.dedup import _MH_P, _word_shingles
 
 
 def minhash_signature_col(text_col: Column, num_hashes: int = 8,
                           shingle_n: int = 3) -> Column:
-    """Per-row MinHash signature: array<string> of length ``num_hashes``.
+    """Per-row MinHash signature: array<long> of length ``num_hashes``.
 
-    Element h = MIN over shingles of md5(h || ':' || shingle) — the same
-    hash family as ``dedup.minhash_signatures`` (hex-lexicographic min),
-    expressed as nested array transforms so it needs no explode/groupBy.
+    Element h = MIN over shingles of the integer universal family
+    ``(a_h·base + b_h) mod P`` with base = one md5 per shingle — the SAME
+    family as ``dedup.minhash_signatures`` (bit-identical, verified by
+    test), expressed as nested array transforms so it needs no
+    explode/groupBy; the base digest is hoisted so each shingle hashes
+    once regardless of ``num_hashes``.
     """
     shingles = _word_shingles(text_col, shingle_n)
+    bases = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long") % _MH_P)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(F.transform(
-            shingles,
-            lambda s: F.md5(F.concat_ws(":", h.cast("string"), s)))),
+            bases,
+            lambda base: ((((h + 1) * F.lit(2654435761)) % _MH_P) * base
+                          + (((h + 1) * F.lit(40503)) % _MH_P)) % _MH_P)),
     )
 
 
