@@ -484,6 +484,7 @@ class Pregel:
             new_state = new_state.observe(obs, *aggs)
             do_snapshot = self.checkpoint_dir and (block_end + 1) % self.snapshot_interval == 0
             new_rdd = None
+            snap_id = None
             if trunc_eff == "memory":
                 # critical path: in-memory materialization only; any snapshot
                 # write overlaps the NEXT superstep (module doc #2)
@@ -498,6 +499,11 @@ class Pregel:
                 new_state = self.table_format.read(
                     self.spark, self._state_path(block_end))
                 state_on_scratch = True
+                # formats with table versioning (Iceberg) contribute their
+                # commit id to the lineage record — the north rule's
+                # "snapshots with per-partition lineage"; parquet says None
+                snap_id = self.table_format.snapshot_id(
+                    self.spark, self._state_path(block_end))
             else:
                 new_state = self._scratch_truncate(new_state, block_end)
                 state_on_scratch = True
@@ -526,6 +532,8 @@ class Pregel:
                 # .rdd conversion is not free — only pay for it when the
                 # metrics are actually recorded as the lineage record
                 rec["num_partitions"] = new_state.rdd.getNumPartitions()
+            if snap_id is not None:
+                rec["snapshot_id"] = snap_id
             if do_snapshot and self.track_partition_rows:
                 parts = (
                     new_state.groupBy(F.spark_partition_id().alias("pid"))
