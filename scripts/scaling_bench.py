@@ -139,14 +139,18 @@ def main() -> None:
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # carry over the historical-measurements section (## C. …) from the
-    # previous file — §A/§B are regenerated, the history is append-only
+    # carry over everything this script does not own — §A/§B (its own
+    # tables) are regenerated; §A.2 (corpus ops), the per-round §B.x
+    # subsections, and §C history are append-only and written by hand.
+    # Round 4 lost-data near-miss: the old carry-over started at "## C."
+    # and would have dropped the hand-written sections between §B and §C.
     history = ""
     if os.path.exists(path):
         prev = open(path).read()
-        idx = prev.find("\n## C.")
-        if idx >= 0:
-            history = prev[idx:]
+        idxs = [i for i in (prev.find("\n## A.2"), prev.find("\n### B."),
+                            prev.find("\n## C.")) if i >= 0]
+        if idxs:
+            history = prev[min(idxs):]
     with open(path, "w") as fh:
         fh.write("\n".join(md) + history + "\n")
     eff = (total_s / total_b) / ratio
