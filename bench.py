@@ -200,6 +200,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     loadavg: dict[str, float] = {}
     extras: dict = {}
+
+    # safety valve: if the harness SIGTERMs the bench mid-run (the
+    # subprocess isolation costs ~30 s of JVM startup per query), emit the
+    # JSON line with whatever finished instead of dying silently
+    import signal
+
+    def _emit_partial(signum, frame):
+        _emit(timings, loadavg, extras, sf, cpus, partial=True)
+        sys.exit(1)
+
+    signal.signal(signal.SIGTERM, _emit_partial)
     if os.environ.get("SPARK_GRAFT_INPROC") == "1":
         from graph_data_science_spark.session import get_spark
         spark = get_spark(app_name=f"gds-bench-sf{sf}",
@@ -226,10 +237,16 @@ def main() -> None:
             loadavg[name] = round(rec["loadavg"], 2)
             extras.update(rec["extras"])
 
+    _emit(timings, loadavg, extras, sf, cpus)
+
+
+def _emit(timings: dict, loadavg: dict, extras: dict, sf, cpus: int,
+          partial: bool = False) -> None:
+    extras = dict(extras)
     n_nodes = extras.pop("n_nodes", None)
     n_edges = extras.pop("n_edges", None)
     total = sum(v for v in timings.values() if v == v)
-    print(json.dumps({
+    rec = {
         "metric": "edges/sec per superstep (PageRank 1e-7 + WCC + LPA) "
                   "over derived link graph",
         "value": round(total, 3),
@@ -244,7 +261,10 @@ def main() -> None:
         "loadavg": loadavg,
         **{k: (round(v, 1) if isinstance(v, float) else v)
            for k, v in extras.items()},
-    }))
+    }
+    if partial:
+        rec["partial"] = True
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
