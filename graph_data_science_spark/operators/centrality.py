@@ -30,9 +30,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+import os
+
 from graph_data_science_spark.graph import Graph
 from graph_data_science_spark.operators.louvain import _Scratch
 from graph_data_science_spark.plans.partitioning import shuffle_hash
+
+# Runtime-adaptive join strategy for the per-level MSBFS joins: the scratch
+# Observation gives the EXACT previous-level row count for free, so a level
+# whose frontier/delta slice is below this gate broadcasts it (no edge-table
+# shuffle); above it, the scale posture (SHUFFLE_HASH against the cached
+# edge partitioning) applies. Same spirit as AQE's runtime re-plan, but
+# driven by exact counts instead of size estimates.
+_BCAST_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_BCAST_MAX_ROWS", "1000000"))
+
+
+def _loop_edges(graph: Graph, scratch: _Scratch) -> DataFrame:
+    """Edge table for an iterative level loop: reuse the caller's cached
+    edges directly (a cache scan is cheaper than a parquet round-trip);
+    truncate into scratch only when uncached (lineage may be a full
+    derive-from-source plan that every level would otherwise replan)."""
+    edges = graph.edges.select("src", "dst")
+    if graph.edges.is_cached:
+        return edges
+    return scratch.truncate(edges, "edges")
 
 
 def msbfs(graph: Graph, sources: list[int] | None = None,
@@ -42,38 +63,56 @@ def msbfs(graph: Graph, sources: list[int] | None = None,
     ``sigma`` = number of distinct shortest s→v paths (Brandes' σ)."""
     spark = graph.nodes.sparkSession
     scratch = _Scratch(spark)
-    edges = graph.edges.select("src", "dst")
     try:
-        edges = scratch.truncate(edges, "edges")
+        edges = _loop_edges(graph, scratch)
         if sources is None:
             src_nodes = graph.nodes.select("node_id")
+            n_src = graph.node_count()
         else:
             src_nodes = spark.createDataFrame(
                 [(int(s),) for s in sources], "node_id long")
+            n_src = len(sources)
         frontier = src_nodes.select(
             F.col("node_id").alias("s"), F.col("node_id").alias("v"),
             F.lit(0).cast("long").alias("dist"),
             F.lit(1.0).alias("sigma"),
         )
-        frontier = scratch.truncate(frontier, "frontier")
+        # per-level stream names: each truncated exactly once, so the slot
+        # is never retired and every later level (and the final union) can
+        # keep referencing it. The visited set becomes a LAZY union of the
+        # materialized per-level frontiers — the old union-grow ``state``
+        # stream re-WROTE the full accumulated state every level
+        # (O(diameter × reached-pairs) write volume, the measured r03/r04
+        # betweenness regression); now each pair is written once.
+        frontier = scratch.truncate(frontier, "frontier_0", rows_hint=n_src)
         state = frontier
-        state = scratch.truncate(state, "state")
+        state_rows = n_src
+        prev_rows = n_src
         for r in range(1, max_iterations + 1):
+            fr = frontier.select(F.col("v").alias("src"), "s", "sigma")
+            fr = F.broadcast(fr) if prev_rows < _BCAST_MAX_ROWS \
+                else shuffle_hash(fr)
             cand = (
-                edges.join(shuffle_hash(frontier.select(
-                    F.col("v").alias("src"), "s", "sigma")), "src")
+                edges.join(fr, "src")
                 .groupBy("s", F.col("dst").alias("v"))
                 .agg(F.sum("sigma").alias("sigma"))
             )
-            new = cand.join(state.select("s", "v"), ["s", "v"], "left_anti") \
+            visited = state.select("s", "v")
+            if state_rows < _BCAST_MAX_ROWS:
+                visited = F.broadcast(visited)
+            new = cand.join(visited, ["s", "v"], "left_anti") \
                 .select("s", "v", F.lit(r).cast("long").alias("dist"), "sigma")
-            new = scratch.truncate(new, "frontier")
+            new = scratch.truncate(
+                new, f"frontier_{r}",
+                rows_hint=scratch._rows.get(f"frontier_{r - 1}"))
             # truncate already observed the row count — reading it is free,
             # where isEmpty() was one extra job per BFS level (O(diameter)
             # jobs per run, the measured per-level overhead in betweenness)
-            if scratch._rows.get("frontier", 0) == 0:
+            if scratch._rows.get(f"frontier_{r}", 0) == 0:
                 break
-            state = scratch.truncate(state.unionByName(new), "state")
+            state = state.unionByName(new)
+            prev_rows = scratch._rows.get(f"frontier_{r}", 0)
+            state_rows += prev_rows
             frontier = new
         out = state if with_sigma else state.select("s", "v", "dist")
         return out.localCheckpoint(eager=True)
@@ -104,14 +143,24 @@ def betweenness(graph: Graph, sources: list[int] | None = None,
     pairs = msbfs(graph, sources, max_iterations, with_sigma=True)
     scratch = _Scratch(spark)
     try:
-        edges = scratch.truncate(graph.edges.select("src", "dst"), "edges")
-        maxd = pairs.agg(F.max("dist")).first()[0] or 0
+        edges = _loop_edges(graph, scratch)
+        # one D-row collect gives both max depth and per-level sizes (the
+        # broadcast gate for the backward joins)
+        hist = {int(r["dist"]): int(r["count"])
+                for r in pairs.groupBy("dist").count().collect()}
+        maxd = max(hist) if hist else 0
         # delta rows only materialize where nonzero; depth-d deltas need only
-        # depth-(d+1) deltas — keep one DataFrame per level, small tail
+        # depth-(d+1) deltas — keep one DataFrame per level, small tail.
+        # Per-level stream names (slot never retired) let the final score
+        # aggregation union ALL levels' materialized deltas directly —
+        # the old ``acc`` union-grow stream re-wrote every accumulated
+        # dependency row once per remaining level (the r03/r04 2.1×
+        # clean-window regression); now each delta row is written once and
+        # aggregated once at the end.
         delta_next = pairs.where(F.col("dist") == maxd).select(
             "s", "v", F.lit(0.0).alias("delta"))
-        delta_next = scratch.truncate(delta_next, "delta")
-        acc = None
+        delta_next = scratch.truncate(delta_next, f"delta_{int(maxd)}")
+        incs = []
         for d in range(int(maxd) - 1, -1, -1):
             here = pairs.where(F.col("dist") == d)
             # alias the successor side's columns up front: ``pairs`` appears
@@ -125,25 +174,32 @@ def betweenness(graph: Graph, sources: list[int] | None = None,
                 F.col("delta").alias("_dw")),
                 ["_ws", "_w"], "left").withColumn(
                 "_dw", F.coalesce("_dw", F.lit(0.0)))
+            if hist.get(d, _BCAST_MAX_ROWS) < _BCAST_MAX_ROWS:
+                here = F.broadcast(here)
+            succ = F.broadcast(succ) \
+                if hist.get(d + 1, _BCAST_MAX_ROWS) < _BCAST_MAX_ROWS \
+                else shuffle_hash(succ)
             contrib = (
                 here.join(edges, here.v == edges.src)
-                .join(shuffle_hash(succ),
+                .join(succ,
                       (F.col("s") == F.col("_ws")) & (edges.dst == F.col("_w")),
                       "inner")
                 .select(F.col("s"), F.col("v"),
                         (F.col("sigma") / F.col("_sw") * (1.0 + F.col("_dw"))).alias("_c"))
                 .groupBy("s", "v").agg(F.sum("_c").alias("delta"))
             )
-            delta_next = scratch.truncate(contrib, "delta")
-            inc = delta_next.where(F.col("s") != F.col("v")) \
-                .select("v", "delta")
-            acc = inc if acc is None else acc.unionByName(inc)
-            if acc is not None:
-                acc = scratch.truncate(acc, "acc")
-        if acc is None:
+            delta_next = scratch.truncate(
+                contrib, f"delta_{d}",
+                rows_hint=scratch._rows.get(f"delta_{d + 1}"))
+            incs.append(delta_next.where(F.col("s") != F.col("v"))
+                        .select("v", "delta"))
+        if not incs:
             scores = graph.nodes.select(
                 "node_id", F.lit(0.0).alias("score"))
         else:
+            acc = incs[0]
+            for inc in incs[1:]:
+                acc = acc.unionByName(inc)
             bc = acc.groupBy(F.col("v").alias("node_id")).agg(
                 F.sum("delta").alias("score"))
             scores = graph.nodes.select("node_id").join(bc, "node_id", "left") \

@@ -132,12 +132,19 @@ class _Scratch:
         self._rows: dict[str, int] = {}   # stream -> last observed row count
         self._hist: dict[str, list] = {}  # stream -> live checkpoint RDDs
 
-    def truncate(self, df: DataFrame, stream: str) -> DataFrame:
+    def truncate(self, df: DataFrame, stream: str,
+                 rows_hint: int | None = None) -> DataFrame:
+        """``rows_hint`` seeds the auto-mode gate for a stream's FIRST
+        truncate (callers using per-level stream names pass the previous
+        level's observed count); the stream's own observation takes over
+        from the second truncate on."""
         import os
         from pyspark.sql import Observation
+        known = self._rows.get(stream, rows_hint)
         use_mem = self.mode == "memory" or (
             self.mode == "auto"
-            and self._rows.get(stream, _MEM_TRUNC_MAX_ROWS) < _MEM_TRUNC_MAX_ROWS)
+            and (known if known is not None else _MEM_TRUNC_MAX_ROWS)
+            < _MEM_TRUNC_MAX_ROWS)
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         rdd = None
