@@ -95,11 +95,20 @@ def influence_maximization_celf(
                     fresh.groupBy("cand").agg(F.count(F.lit(1)).alias("g")),
                     "cand", "left").select(
                     "cand", F.coalesce("g", F.lit(0)).alias("g")))
-            taken = {c for _, c, _ in chosen}
-            rows = [r for r in gains.collect() if r["cand"] not in taken]
+            # distributed argmax: anti-join the (≤k-row, broadcast) taken
+            # set, then TakeOrderedAndProject — ONE row reaches the driver
+            # per round, where a gains.collect() was one row per candidate
+            # (n-row driver collect × k rounds at a 10^8-node pool).
+            # Same deterministic tie-break as the old driver-side min:
+            # highest gain, then smallest candidate id.
+            if chosen:
+                taken_df = spark.createDataFrame(
+                    [(int(c),) for _, c, _ in chosen], "cand long")
+                gains = gains.join(F.broadcast(taken_df), "cand", "left_anti")
+            rows = gains.orderBy(F.desc("g"), F.asc("cand")).limit(1).collect()
             if not rows:
                 break
-            best = min(rows, key=lambda r: (-r["g"], r["cand"]))
+            best = rows[0]
             new_cov = reach.where(F.col("cand") == int(best["cand"])) \
                 .select("sim", "node_id")
             covered = new_cov if covered is None else \

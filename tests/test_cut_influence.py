@@ -52,3 +52,33 @@ def test_celf_picks_high_influence_seed_first(spark):
     assert ranked[0][1] == 0          # hub chosen first
     assert ranked[0][2] > 5           # activates most of the star
     assert ranked[1][2] >= ranked[0][2]  # spread monotone in seed set
+
+
+def test_celf_argmax_is_distributed(spark, monkeypatch):
+    # the greedy round's argmax must reach the driver as ONE row per round
+    # (TakeOrderedAndProject after the taken anti-join), never a full
+    # per-candidate gains collect — the 10^8-node-pool scale hazard the
+    # round-4 review flagged. Spy on DataFrame.collect: the largest batch
+    # any call returns during CELF must be 1 row.
+    # patch the concrete class — pyspark.sql.DataFrame is the dispatch
+    # facade on this Spark build and instance calls don't route through it
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    edges = edges_from_tuples(
+        spark, [(0, i) for i in range(1, 10)] + [(20, 21), (21, 22)])
+    g = graph_from_edges(spark, edges)
+    res = influence_maximization_celf(
+        g, k=3, propagation_probability=0.9,
+        monte_carlo_simulations=4, candidate_pool=6)
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert res.count() == 3
+    assert sizes and max(sizes) <= 1
