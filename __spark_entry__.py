@@ -1188,9 +1188,20 @@ def _louvain_sql(levels: int = 2, iters: int = 4, classes: int = 2,
                     f"SELECT i.dst AS node_id, MIN(ls.lab) AS m "
                     f"FROM in{lv} i JOIN {prevl} ls ON i.src = ls.node_id "
                     f"GROUP BY i.dst) mn ON l.node_id = mn.node_id),")
+            # fixpoint ASSERTION, not assumption: if the unroll depth were
+            # ever insufficient on some gate dataset (propagation depth >
+            # refine_rounds inside one community), the oracle must fail
+            # loudly instead of silently diverging from a correct engine
+            # answer — error() fires unless the last round changed nothing
             parts.append(
-                f"rl{lv} AS MATERIALIZED (SELECT node_id, lab AS comm "
-                f"FROM lb{lv}_{refine_rounds}),")
+                f"fx{lv} AS MATERIALIZED (SELECT COUNT(*) AS n FROM "
+                f"lb{lv}_{refine_rounds} a JOIN lb{lv}_{refine_rounds - 1} b "
+                f"ON a.node_id = b.node_id AND a.lab <> b.lab),")
+            parts.append(
+                f"rl{lv} AS MATERIALIZED (SELECT l.node_id, "
+                f"CASE WHEN f.n = 0 THEN l.lab "
+                f"ELSE error('leiden refine unroll not converged') END AS comm "
+                f"FROM lb{lv}_{refine_rounds} l, fx{lv} f),")
         else:
             parts.append(
                 f"rl{lv} AS MATERIALIZED (SELECT c.node_id, lm.new AS comm "
@@ -2461,22 +2472,22 @@ SELECT h.doc_id, g.canonical_id, g.group_size FROM h JOIN g ON h.hh = g.hh"""
     # h_k = (a_k*base + b_k) mod P — exact int64 on both engines
     o["minhash_signatures"] = f"""
 WITH {_shingle_cte(3).strip()},
-mb AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000003 AS base FROM sh),
+mb AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS base FROM sh),
 ks AS (SELECT doc_id, base, h FROM mb, (SELECT unnest(range(0, 8)) AS h) hs),
 mh AS (SELECT doc_id, h,
-              CAST(MIN(((((h+1)*2654435761) % 1000003) * base
-                        + (((h+1)*40503) % 1000003)) % 1000003) AS BIGINT)
+              CAST(MIN(((((h+1)*2654435761) % 2147483647) * base
+                        + (((h+1)*40503) % 2147483647)) % 2147483647) AS BIGINT)
                   AS minhash
        FROM ks GROUP BY doc_id, h)
 SELECT doc_id, CAST(h AS INT) AS h, minhash FROM mh"""
 
     o["minhash_lsh_pairs"] = f"""
 WITH {_shingle_cte(3).strip()},
-mb AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000003 AS base FROM sh),
+mb AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS base FROM sh),
 ks AS (SELECT doc_id, base, h FROM mb, (SELECT unnest(range(0, 8)) AS h) hs),
 mh AS (SELECT doc_id, h,
-              CAST(MIN(((((h+1)*2654435761) % 1000003) * base
-                        + (((h+1)*40503) % 1000003)) % 1000003) AS BIGINT)
+              CAST(MIN(((((h+1)*2654435761) % 2147483647) * base
+                        + (((h+1)*40503) % 2147483647)) % 2147483647) AS BIGINT)
                   AS minhash
        FROM ks GROUP BY doc_id, h),
 bh AS (SELECT doc_id, CAST(h // 2 AS INT) AS band,
@@ -2611,11 +2622,11 @@ SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.35"""
     # pair graph converges in <=3; rounds after convergence are idempotent).
     ndc_rounds = 8
     ndc_parts = [f"""WITH {_shingle_cte(3).strip()},
-mb AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000003 AS base FROM sh),
+mb AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS base FROM sh),
 ks AS (SELECT doc_id, base, h FROM mb, (SELECT unnest(range(0, 8)) AS h) hs),
 mh AS (SELECT doc_id, h,
-              CAST(MIN(((((h+1)*2654435761) % 1000003) * base
-                        + (((h+1)*40503) % 1000003)) % 1000003) AS BIGINT)
+              CAST(MIN(((((h+1)*2654435761) % 2147483647) * base
+                        + (((h+1)*40503) % 2147483647)) % 2147483647) AS BIGINT)
                   AS minhash
        FROM ks GROUP BY doc_id, h),
 bh AS (SELECT doc_id, CAST(h // 2 AS INT) AS band,

@@ -230,7 +230,7 @@ def main() -> None:
                      if l.startswith('{"name"')]
             if out.returncode != 0 or not lines:
                 sys.stderr.write(out.stderr[-2000:])
-                timings[name] = float("nan")
+                timings[name] = None   # strict-JSON: null, not NaN
                 continue
             rec = json.loads(lines[-1])
             timings[name] = rec["sec"]
@@ -245,13 +245,14 @@ def _emit(timings: dict, loadavg: dict, extras: dict, sf, cpus: int,
     extras = dict(extras)
     n_nodes = extras.pop("n_nodes", None)
     n_edges = extras.pop("n_edges", None)
-    total = sum(v for v in timings.values() if v == v)
+    total = sum(v for v in timings.values() if v is not None)
     rec = {
         "metric": "edges/sec per superstep (PageRank 1e-7 + WCC + LPA) "
                   "over derived link graph",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries": {k: (round(v, 3) if v is not None else None)
+                    for k, v in timings.items()},
         "sf": sf,
         "cpus": cpus,
         "n_nodes": n_nodes,

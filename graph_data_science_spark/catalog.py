@@ -363,8 +363,8 @@ class GraphCatalog:
                 DEFAULT_FORMAT)
             table_format = DEFAULT_FORMAT
         g = self.get(name)
-        table_format.write(g.nodes, f"{target}/nodes")
-        table_format.write(g.edges, f"{target}/edges")
+        table_format.write(g.nodes, table_format.child(target, "nodes"))
+        table_format.write(g.edges, table_format.child(target, "edges"))
 
     def write_parquet(self, name: str, path: str) -> None:
         """Back-compat alias for :meth:`export` with the parquet format."""
@@ -376,8 +376,8 @@ class GraphCatalog:
             from graph_data_science_spark.sources.table_format import (
                 DEFAULT_FORMAT)
             table_format = DEFAULT_FORMAT
-        nodes = table_format.read(self.spark, f"{path}/nodes")
-        edges = table_format.read(self.spark, f"{path}/edges")
+        nodes = table_format.read(self.spark, table_format.child(path, "nodes"))
+        edges = table_format.read(self.spark, table_format.child(path, "edges"))
         g = Graph(nodes=nodes, edges=edges, directed=directed, name=name)
         self._graphs[name] = g
         return g

@@ -58,9 +58,13 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
-#: prime modulus of the integer minhash family (fits every product below
-#: in exact int64 on both engines: a_k, base < P ⇒ a_k·base < ~1e12)
-_MH_P = 1_000_003
+#: prime modulus of the integer minhash family. 2^31−1 (Mersenne prime):
+#: a_k, base < P ⇒ a_k·base < 2^62, still exact int64 on both engines.
+#: A small P is a collision hazard, not just lost precision — with m
+#: shingles per doc, unrelated docs share a per-hash minimum with
+#: probability ~m/P, inflating estimated Jaccard and LSH candidate pairs;
+#: at m ~ 1e5 the old P = 1,000,003 made that ~10%.
+_MH_P = 2_147_483_647
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -71,7 +75,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     The classic universal family, hashed ONCE per shingle: ``base =
     int(md5(shingle)[:15 hex]) mod P`` and ``h_k = (a_k·base + b_k) mod
     P`` with ``a_k = (k+1)·2654435761 mod P``, ``b_k = (k+1)·40503 mod
-    P`` (P = 1,000,003 prime). Rounds 1-3 computed ``md5(k || shingle)``
+    P`` (P = 2,147,483,647, the Mersenne prime 2^31−1). Rounds 1-3 computed ``md5(k || shingle)``
     per hash index — k× the hashing work; at 10¹² documents with a
     production-sized family (k = 128) that multiplier IS the signature
     job, so deriving the family from one digest is the scale fix, not a

@@ -151,9 +151,17 @@ class Pregel:
         truncation: str | None = None,
         fuse: int | None = None,
         table_format=None,
+        metadata_dir: str | None = None,
     ):
         self.spark = spark
         self.max_iterations = max_iterations
+        # Run metadata (manifest.json, metrics.jsonl) is DRIVER-LOCAL
+        # filesystem by design — tiny json, written outside Spark. With the
+        # default path-based format it lives inside checkpoint_dir; a
+        # deployment whose checkpoint_dir is a catalog identifier (Iceberg)
+        # passes metadata_dir to give the metadata a real directory.
+        self.metadata_dir = metadata_dir if metadata_dir is not None \
+            else checkpoint_dir
         # Durable-snapshot format seam (sources/table_format.py): parquet
         # here (the sandbox default); a real deployment passes
         # IcebergFormat so every checkpoint snapshot is an Iceberg table
@@ -327,17 +335,25 @@ class Pregel:
             self._tmp_dir = None
 
     # -- checkpoint layout ---------------------------------------------------
+    # All state targets are composed through TableFormat.child — never by
+    # string/path concatenation — so the same layout maps to directories
+    # (parquet: state/superstep=00005) or catalog identifiers (Iceberg:
+    # <tbl>_state_superstep_00005) without touching this class.
+    def _state_root(self) -> str:
+        return self.table_format.child(self.checkpoint_dir, "state")
+
     def _state_path(self, superstep: int) -> str:
-        return os.path.join(self.checkpoint_dir, "state", f"superstep={superstep:05d}")
+        return self.table_format.child(
+            self._state_root(), f"superstep={superstep:05d}")
 
     def _metrics_path(self) -> str:
-        return os.path.join(self.checkpoint_dir, "metrics.jsonl")
+        return os.path.join(self.metadata_dir, "metrics.jsonl")
 
     def _manifest_path(self) -> str:
-        return os.path.join(self.checkpoint_dir, "manifest.json")
+        return os.path.join(self.metadata_dir, "manifest.json")
 
     def _write_manifest(self) -> None:
-        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        os.makedirs(self.metadata_dir, exist_ok=True)
         with open(self._manifest_path(), "w") as fh:
             json.dump(self.manifest, fh, sort_keys=True, default=str)
 
@@ -355,37 +371,47 @@ class Pregel:
                 f"checkpoint_dir {self.checkpoint_dir!r} belongs to a different run: "
                 f"manifest on disk {found!r} != this run {want!r}")
 
+    @staticmethod
+    def _snapshot_num(name: str) -> int | None:
+        """Superstep number from a snapshot child name — tolerant of both
+        the parquet (``superstep=00005``) and identifier-sanitized
+        (``superstep_00005``) spellings."""
+        import re
+        m = re.fullmatch(r"superstep[=_](\d+)", name)
+        return int(m.group(1)) if m else None
+
     def _prune_above(self, superstep: int) -> None:
         """Drop snapshots above the resume point so an earlier longer run's
         higher-numbered snapshots can't be picked up later."""
-        import shutil
-        root = os.path.join(self.checkpoint_dir, "state")
-        if not os.path.isdir(root):
-            return
-        for d in os.listdir(root):
-            if d.startswith("superstep=") and int(d.split("=")[1]) > superstep:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        root = self._state_root()
+        for d in self.table_format.list_children(
+                self.spark, root, complete_only=False):
+            n = self._snapshot_num(d)
+            if n is not None and n > superstep:
+                self.table_format.drop(self.spark,
+                                       self.table_format.child(root, d))
 
     def _reset_dir(self) -> None:
         """Fresh (non-resume) run into an existing dir: clear prior state and
         metrics so snapshots/metrics of different runs never interleave."""
-        import shutil
-        shutil.rmtree(os.path.join(self.checkpoint_dir, "state"), ignore_errors=True)
+        root = self._state_root()
+        for d in self.table_format.list_children(
+                self.spark, root, complete_only=False):
+            self.table_format.drop(self.spark,
+                                   self.table_format.child(root, d))
+        self.table_format.drop(self.spark, root)
         for f in (self._metrics_path(),):
             if os.path.exists(f):
                 os.remove(f)
 
     def latest_snapshot(self) -> int | None:
-        """Highest superstep with a complete (_SUCCESS-marked) snapshot."""
+        """Highest superstep with a complete/committed snapshot."""
         if not self.checkpoint_dir:
             return None
-        root = os.path.join(self.checkpoint_dir, "state")
-        if not os.path.isdir(root):
-            return None
-        done = []
-        for d in os.listdir(root):
-            if d.startswith("superstep=") and os.path.exists(os.path.join(root, d, "_SUCCESS")):
-                done.append(int(d.split("=")[1]))
+        done = [n for n in (self._snapshot_num(d)
+                            for d in self.table_format.list_children(
+                                self.spark, self._state_root()))
+                if n is not None]
         return max(done) if done else None
 
     def resume_state(self) -> tuple[DataFrame, int] | None:

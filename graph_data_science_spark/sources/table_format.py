@@ -13,6 +13,15 @@ touching operator code. Reference anchor: the reference's export layer
 is similarly format-pluggable (io/csv/.../GraphStoreToCsvExporter.java:39
 vs the in-memory GraphStoreExporter contract).
 
+Sub-table naming goes through :meth:`TableFormat.child` — a path join for
+parquet, an identifier-suffix mapping for Iceberg (``/`` and ``=`` are not
+legal in a multipart identifier, so ``state/superstep=00005`` becomes
+``<tbl>_state_superstep_00005``) — and snapshot enumeration/removal
+through :meth:`TableFormat.list_children` / :meth:`TableFormat.drop`, so
+Pregel resume works against either layout. Pregel's run metadata
+(manifest.json, metrics.jsonl) stays driver-local filesystem by design;
+identifier-based deployments pass ``Pregel(metadata_dir=...)``.
+
 Scale note: both implementations are single ``DataFrame.write`` plans —
 partitioning/ordering of the state is whatever the caller's plan
 carries; the format never forces a shuffle of its own. Iceberg's value
@@ -51,6 +60,26 @@ class TableFormat(ABC):
         None for formats without table-level versioning."""
         return None
 
+    @abstractmethod
+    def child(self, target: str, name: str) -> str:
+        """Map a logical sub-table name under ``target`` to a valid
+        format-specific target. Callers (GraphCatalog.export, Pregel
+        snapshots) only ever compose targets through this hook — a path
+        join is NOT a valid Iceberg identifier, so string-concatenating
+        ``f"{target}/nodes"`` would break any non-path format."""
+
+    @abstractmethod
+    def list_children(self, spark: SparkSession, target: str,
+                      complete_only: bool = True) -> list[str]:
+        """Logical child names that exist under ``target`` (inverse of
+        :meth:`child`). ``complete_only`` filters to committed/complete
+        children where the format distinguishes (parquet ``_SUCCESS``;
+        Iceberg commits are atomic so everything listed is complete)."""
+
+    @abstractmethod
+    def drop(self, spark: SparkSession, target: str) -> None:
+        """Remove ``target`` (idempotent)."""
+
 
 class ParquetFormat(TableFormat):
     """Plain-parquet stand-in (the sandbox default)."""
@@ -62,6 +91,23 @@ class ParquetFormat(TableFormat):
 
     def read(self, spark: SparkSession, target: str) -> DataFrame:
         return spark.read.parquet(target)
+
+    def child(self, target: str, name: str) -> str:
+        import os
+        return os.path.join(target, name)
+
+    def list_children(self, spark: SparkSession, target: str,
+                      complete_only: bool = True) -> list[str]:
+        import os
+        if not os.path.isdir(target):
+            return []
+        return [d for d in os.listdir(target)
+                if not complete_only
+                or os.path.exists(os.path.join(target, d, "_SUCCESS"))]
+
+    def drop(self, spark: SparkSession, target: str) -> None:
+        import shutil
+        shutil.rmtree(target, ignore_errors=True)
 
 
 class IcebergFormat(TableFormat):
@@ -86,6 +132,28 @@ class IcebergFormat(TableFormat):
             f"SELECT snapshot_id FROM {target}.snapshots "
             f"ORDER BY committed_at DESC LIMIT 1").first())
         return None if row is None else str(row[0])
+
+    def child(self, target: str, name: str) -> str:
+        """``catalog.db.tbl`` + logical name → ``catalog.db.tbl_<name>``
+        with every non-identifier character folded to ``_`` (the Pregel
+        convention ``state/superstep=00005`` becomes
+        ``..._state_superstep_00005`` — a valid multipart identifier)."""
+        import re
+        return f"{target}_{re.sub(r'[^A-Za-z0-9_]', '_', name)}"
+
+    def list_children(self, spark: SparkSession, target: str,
+                      complete_only: bool = True) -> list[str]:
+        # children live in target's namespace as tables named <tbl>_<name>;
+        # Iceberg commits are atomic, so every listed child is complete
+        ns, _, tbl = target.rpartition(".")
+        rows = spark.sql(
+            f"SHOW TABLES IN {ns}" if ns else "SHOW TABLES").collect()
+        pre = f"{tbl}_"
+        return [r["tableName"][len(pre):] for r in rows
+                if r["tableName"].startswith(pre)]
+
+    def drop(self, spark: SparkSession, target: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
 
 
 DEFAULT_FORMAT = ParquetFormat()

@@ -94,3 +94,76 @@ def test_iceberg_format_roundtrip(spark):
     fmt.write(df, "local.db.t")
     assert fmt.read(spark, "local.db.t").count() == 5
     assert fmt.snapshot_id(spark, "local.db.t") is not None
+
+
+def test_child_mapping_parquet_preserves_layout(tmp_path):
+    fmt = ParquetFormat()
+    root = str(tmp_path / "ck")
+    assert fmt.child(root, "state") == f"{root}/state"
+    assert fmt.child(fmt.child(root, "state"), "superstep=00005") \
+        == f"{root}/state/superstep=00005"
+
+
+def test_child_mapping_iceberg_yields_valid_identifiers():
+    # no runtime needed: the mapping is pure string logic, and it is the
+    # round-4 review's exact failure case — '/' and '=' are not legal in a
+    # multipart identifier, so both must be folded away
+    fmt = IcebergFormat()
+    t = fmt.child("local.db.ck", "nodes")
+    assert t == "local.db.ck_nodes"
+    s = fmt.child(fmt.child("local.db.ck", "state"), "superstep=00005")
+    assert s == "local.db.ck_state_superstep_00005"
+    import re
+    last = s.rsplit(".", 1)[1]
+    assert re.fullmatch(r"[A-Za-z0-9_]+", last)
+
+
+def test_snapshot_name_parser_accepts_both_spellings():
+    from graph_data_science_spark.plans.pregel import Pregel
+    assert Pregel._snapshot_num("superstep=00007") == 7
+    assert Pregel._snapshot_num("superstep_00007") == 7
+    assert Pregel._snapshot_num("manifest.json") is None
+    assert Pregel._snapshot_num("superstep=x") is None
+
+
+def test_pregel_enumeration_is_format_pluggable(spark, tmp_path):
+    """latest_snapshot / prune / reset go through TableFormat.list_children
+    + drop — a spying wrapper must observe them (no direct os.listdir of
+    the state layout left in Pregel)."""
+    from graph_data_science_spark.plans.pregel import ACTIVE_COL, Pregel
+
+    class Spy(ParquetFormat):
+        listed = 0
+        dropped = 0
+
+        def list_children(self, s, target, complete_only=True):
+            Spy.listed += 1
+            return super().list_children(s, target, complete_only)
+
+        def drop(self, s, target):
+            Spy.dropped += 1
+            super().drop(s, target)
+
+    fmt = Spy()
+    ck = str(tmp_path / "ck")
+    driver = Pregel(spark, max_iterations=2, checkpoint_dir=ck,
+                    snapshot_interval=1, table_format=fmt,
+                    manifest={"algorithm": "enum_test"})
+    state0 = spark.range(3).select(
+        F.col("id").alias("node_id"), F.col("id").alias("x"),
+        F.lit(1).cast("int").alias(ACTIVE_COL))
+
+    def step(st, i):
+        return st.select(
+            "node_id", (F.col("x") + 1).alias("x"),
+            F.when(F.col("x") < 1, 1).otherwise(0)
+            .cast("int").alias(ACTIVE_COL))
+
+    driver.run(state0, step)
+    assert driver.latest_snapshot() is not None
+    assert Spy.listed >= 1
+    fresh = Pregel(spark, max_iterations=2, checkpoint_dir=ck,
+                   snapshot_interval=1, table_format=fmt,
+                   manifest={"algorithm": "enum_test"})
+    fresh._reset_dir()
+    assert Spy.dropped >= 1 and fresh.latest_snapshot() is None
