@@ -143,27 +143,20 @@ def node2vec(
        so). Two deterministic modes here:
 
        ``mode="distributed"`` (default): synchronous full-batch gradient
-       descent with partition-summed partials — the ml/mlp.py discipline.
-       Per epoch: broadcast (w_in, w_out); every PAIR partition accumulates
-       all its Arrow batches, sorts by (walk_id, s1, s2), computes the SGNS
-       gradient VECTORIZED over all its pairs (negatives from a vectorized
-       splitmix64 hash stream — per-pair-key-seeded, partition-layout
-       independent) and emits per-node partial gradients tagged with its
-       partition id; the driver sums partials in partition-id order — one
-       fixed float summation tree at ANY parallelism — and applies the
-       update. The PAIRS (the big side: n × walks × length × window rows)
-       stay distributed; the model (2·n·d floats) is broadcast, the same
-       state-fits-in-memory bound as mode="csr" PageRank. Full-batch GD
-       descends a fixed objective, so the loss history is monotone-ish and
-       testable.
+       descent with a fully EXECUTOR-RESIDENT model — long-format state
+       ``(node_id, dim, win, wout)``, join gathers, micro-unit integer
+       reductions (see :func:`_node2vec_distributed`). Nothing n-sized
+       touches the driver; per-epoch driver traffic is one loss scalar.
+       Bit-identical at any partition count; full-batch GD descends a
+       fixed objective, so the loss history is monotone-ish and testable.
 
        ``mode="parity"``: the round-2 single-group sequential-SGD mode —
        (center, context) pairs stream through ONE ``applyInPandas`` group
        in a fixed sort order, matching the reference's sequential
        trajectory shape. Valid while pairs fit one worker.
 
-       For graphs where even n·d floats don't fit the driver, use
-       :func:`fastrp` / :func:`hashgnn` (fully distributed models).
+       When training cost itself is the constraint, :func:`fastrp` /
+       :func:`hashgnn` give training-free distributed embeddings.
     """
     import numpy as np
     import pandas as pd
@@ -182,17 +175,20 @@ def node2vec(
              .where((F.col("s1") != F.col("s2"))
                     & (F.abs(F.col("s1") - F.col("s2")) <= int(window_size)))
              .select("walk_id", "s1", "s2", "center", "context"))
-    node_ids = [r[0] for r in graph.nodes.select("node_id")
-                .orderBy("node_id").collect()]
-    n, d = len(node_ids), int(embedding_dim)
-    id_pos = {v: i for i, v in enumerate(node_ids)}
     ep, ns, lr0 = int(epochs), int(negative_samples), float(learning_rate)
     sd = int(seed)
 
     if mode == "distributed":
         return _node2vec_distributed(
-            spark, pairs, node_ids, id_pos, n, d, ep, ns, lr0, sd,
+            graph, pairs, int(embedding_dim), ep, ns, lr0, sd,
             num_partitions)
+
+    # parity mode only: the full id list + model live in one worker group
+    # by design (documented size-gated sequential-trajectory mode)
+    node_ids = [r[0] for r in graph.nodes.select("node_id")
+                .orderBy("node_id").collect()]
+    n, d = len(node_ids), int(embedding_dim)
+    id_pos = {v: i for i, v in enumerate(node_ids)}
 
     def train(pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib
@@ -236,134 +232,148 @@ def node2vec(
         train, schema="node_id long, embedding array<double>")
 
 
-def _splitmix64(x):
-    """Vectorized splitmix64 over uint64 numpy arrays — the deterministic,
-    partition-layout-independent hash stream the distributed SGNS draws
-    negatives from (no per-row Python, unlike the md5 u01 used where an
-    oracle must reproduce the stream)."""
-    import numpy as np
-    with np.errstate(over="ignore"):
-        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
-        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
-        return x ^ (x >> np.uint64(31))
-
-
-def _node2vec_distributed(spark, pairs, node_ids, id_pos, n, d, ep, ns, lr0, sd,
+def _node2vec_distributed(graph, pairs, d, ep, ns, lr0, sd,
                           num_partitions):
-    """Synchronous full-batch SGNS: broadcast model, partition-summed
-    gradients, driver update in partition-id order (see node2vec docstring)."""
-    import hashlib
+    """Executor-resident synchronous full-batch SGNS — the graphsage
+    round-4 trainer discipline applied to node2vec (the round-4 review's
+    remaining driver-resident trainer):
 
-    import numpy as np
-    import pandas as pd
+    - MODEL STATE is a long-format DataFrame ``(node_id, dim, win, wout)``
+      truncated per epoch through ``_Scratch`` — nothing n-sized lives on
+      or moves through the driver (the prior trainer collected all node
+      ids into a dict, broadcast the 2·n·d model every epoch and
+      collected up to n gradient rows back).
+    - GATHERS are joins: targets ⋈ state on center / target.
+    - Every cross-row float reduction (the z dot product, the
+      per-(node, dim) gradient sums, the epoch loss) sums graphsage
+      ``_ml`` micro-unit longs — integer addition is associative and
+      commutative, so results are bit-identical at ANY partition count
+      (the 2-vs-8 invariance test).
+    - NEGATIVE draws are ``xxhash64(pair identity, k, epoch, seed) mod
+      n`` — a pure function of pair identity, partition-layout
+      independent — mapped to node ids through a dense-rank table built
+      with the two-level bucketed prefix (plans/partitioning.py — no
+      global sort, no driver-side id map).
 
-    parts = int(num_partitions or spark.sparkContext.defaultParallelism)
-    # deterministic layout: hash-partition by the pair key; each partition
-    # re-sorts its full content, so the float summation tree depends only on
-    # (key → partition) assignment = (key, parts), not on input order
-    pair_df = (pairs.select("walk_id", "s1", "s2", "center", "context")
-               .repartition(parts, "walk_id", "s1", "s2")
-               .persist())
-    m_pairs = max(1, pair_df.count())
+    Per-epoch driver traffic: ONE scalar (the loss). Reference:
+    embeddings/node2vec/Node2Vec.java trains multi-threaded asynchronous
+    SGD whose result is concurrency-dependent (its docs say so); this
+    engine trades that trajectory for a fixed full-batch objective with
+    testable monotone descent.
+    """
+    from graph_data_science_spark.operators.graphsage import _Q, _ml
+    from graph_data_science_spark.operators.louvain import _Scratch
+    from graph_data_science_spark.plans.partitioning import (
+        bucketed_exclusive_prefix)
 
-    # hash-seeded init — identical philosophy (and constants) to parity mode
-    w_in = np.array([
-        [int(hashlib.md5(f"{v}:{j}:{sd}".encode()).hexdigest()[:15], 16)
-         / float(1 << 60) - 0.5 for j in range(d)] for v in node_ids]) / d
-    w_out = np.zeros((n, d))
-    pos_of = id_pos
-
-    sc = spark.sparkContext
-    bc_pos = sc.broadcast(pos_of)
-    history = []
+    spark = graph.nodes.sparkSession
+    scratch = _Scratch(spark)
     try:
+        parts = int(num_partitions or spark.sparkContext.defaultParallelism)
+        pair_df = scratch.truncate(
+            pairs.repartition(parts, "walk_id", "s1", "s2"), "pairs")
+        m_pairs = max(1, scratch._rows.get("pairs", 0))
+
+        nodes = graph.nodes.select("node_id")
+        bounds = nodes.agg(F.min("node_id").alias("mn"),
+                           F.max("node_id").alias("mx"),
+                           F.count(F.lit(1)).alias("n")).first()
+        mn, n = int(bounds["mn"]), int(bounds["n"])
+        span = int(bounds["mx"]) - mn + 1
+        n_buckets = 64
+        width = max(1, span // n_buckets + 1)
+        bucketed = nodes.selectExpr(
+            "node_id", f"(node_id - {mn}) DIV {width} AS _bkt")
+        ranks = bucketed_exclusive_prefix(
+            bucketed, "_bkt", ["node_id"], n_buckets, out="pos"
+        ).select("node_id", "pos")
+        ranks = scratch.truncate(ranks, "ranks")
+
+        dims = spark.range(int(d)).select(F.col("id").cast("int").alias("dim"))
+        # hash-seeded init — same md5 stream and scaling as parity mode
+        init = ((F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("node_id"), F.col("dim"), F.lit(int(sd)))), 1, 15),
+            16, 10).cast("long") / float(1 << 60) - 0.5) / float(d))
+        emb = nodes.crossJoin(F.broadcast(dims)).select(
+            "node_id", "dim", init.alias("win"), F.lit(0.0).alias("wout"))
+        emb = scratch.truncate(emb, "emb")
+
+        history = []
         for e in range(ep):
             lr = lr0 * (1.0 - e / max(1, ep))
-            bc_w = sc.broadcast((w_in, w_out))
+            pos_t = pair_df.select(
+                "walk_id", "s1", "s2", "center",
+                F.lit(0).alias("k"), F.col("context").alias("target"),
+                F.lit(1.0).alias("label"))
+            targets = pos_t
+            if ns > 0:
+                negp = pair_df.select(
+                    "walk_id", "s1", "s2", "center",
+                    F.explode(F.sequence(F.lit(1), F.lit(int(ns))))
+                    .alias("k"),
+                ).withColumn("pos", F.pmod(
+                    F.xxhash64("walk_id", "s1", "s2", "k",
+                               F.lit(int(e)), F.lit(int(sd))), F.lit(n)))
+                negs = negp.join(ranks, "pos").select(
+                    "walk_id", "s1", "s2", "center", "k",
+                    F.col("node_id").alias("target"),
+                    F.lit(0.0).alias("label"))
+                targets = targets.unionByName(negs)
 
-            def partial(batches, _e=e):
-                from pyspark import TaskContext
-                wi, wo = bc_w.value
-                pmap = bc_pos.value
-                chunks = [pdf for pdf in batches if len(pdf)]
-                if not chunks:
-                    return
-                whole = (pd.concat(chunks, ignore_index=True)
-                         .sort_values(["walk_id", "s1", "s2"]))
-                ci = np.array([pmap[int(v)] for v in whole["center"]],
-                              dtype=np.int64)
-                oi = np.array([pmap[int(v)] for v in whole["context"]],
-                              dtype=np.int64)
-                m = len(ci)
-                # per-pair key (layout-independent): mix the pair identity
-                key = _splitmix64(
-                    whole["walk_id"].to_numpy(np.uint64)
-                    ^ _splitmix64(whole["s1"].to_numpy(np.uint64)
-                                  + np.uint64(0x1000 * (_e + 1)))
-                    ^ _splitmix64(whole["s2"].to_numpy(np.uint64)
-                                  + np.uint64(0x9E55 + sd)))
-                g_in = np.zeros((n, d))
-                g_out = np.zeros((n, d))
-                loss = 0.0
-                zu = wi[ci]
-                # positive term
-                z = np.clip((zu * wo[oi]).sum(axis=1), -30, 30)
-                p = 1.0 / (1.0 + np.exp(-z))
-                loss += float(-np.log(np.clip(p, 1e-12, None)).sum())
-                g = (1.0 - p)[:, None]
-                np.add.at(g_in, ci, g * wo[oi])
-                np.add.at(g_out, oi, g * zu)
-                # negative terms
-                for k in range(ns):
-                    wk = (_splitmix64(key + np.uint64(k + 1))
-                          % np.uint64(n)).astype(np.int64)
-                    zn = np.clip((zu * wo[wk]).sum(axis=1), -30, 30)
-                    pn = 1.0 / (1.0 + np.exp(-zn))
-                    loss += float(-np.log(np.clip(1.0 - pn, 1e-12, None)).sum())
-                    gn = (-pn)[:, None]
-                    np.add.at(g_in, ci, gn * wo[wk])
-                    np.add.at(g_out, wk, gn * zu)
-                touched = np.nonzero(
-                    np.abs(g_in).sum(axis=1) + np.abs(g_out).sum(axis=1))[0]
-                pid = TaskContext.get().partitionId()
-                yield pd.DataFrame({
-                    "pid": pid,
-                    "pos": touched,
-                    "gin": [g_in[t].tolist() for t in touched],
-                    "gout": [g_out[t].tolist() for t in touched],
-                    "loss": [loss] + [0.0] * (len(touched) - 1)
-                    if len(touched) else [],
-                })
+            ec = emb.select(F.col("node_id").alias("center"), "dim", "win")
+            eo = emb.select(F.col("node_id").alias("target"), "dim", "wout")
+            gathered = targets.join(ec, "center").join(eo, ["target", "dim"])
+            zc = F.least(F.lit(30.0), F.greatest(
+                F.lit(-30.0), F.col("_zi") / F.lit(float(_Q))))
+            z = (gathered
+                 .groupBy("walk_id", "s1", "s2", "k", "center", "target",
+                          "label")
+                 .agg(F.sum(_ml(F.col("win") * F.col("wout"))).alias("_zi"))
+                 .select("walk_id", "s1", "s2", "k", "center", "target",
+                         "label",
+                         (F.lit(1.0) / (F.lit(1.0) + F.exp(-zc)))
+                         .alias("p")))
+            z = scratch.truncate(z, "z")
+            loss_term = F.when(
+                F.col("label") > 0.5,
+                -F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+            ).otherwise(
+                -F.log(F.greatest(1.0 - F.col("p"), F.lit(1e-12))))
+            tot = z.agg(F.sum(_ml(loss_term)).alias("l")).first()["l"]
+            history.append(tot / _Q / m_pairs)
 
-            rows = pair_df.mapInPandas(
-                partial,
-                schema="pid int, pos long, gin array<double>, "
-                       "gout array<double>, loss double",
-            ).collect()
-            # fixed summation tree: partials applied in (pid, pos) order
-            rows.sort(key=lambda r: (r["pid"], r["pos"]))
-            # MEAN gradient (sum / m): full-batch GD needs the classic
-            # per-example scaling or the summed step diverges at any
-            # reasonable lr; the scalar factor keeps bit-determinism
-            scale = lr / m_pairs
-            tot_loss = 0.0
-            for r in rows:
-                w_in[r["pos"]] += scale * np.asarray(r["gin"])
-                w_out[r["pos"]] += scale * np.asarray(r["gout"])
-                tot_loss += r["loss"]
-            history.append(tot_loss / m_pairs)
-            bc_w.unpersist()
+            zz = z.select("walk_id", "s1", "s2", "k", "center", "target",
+                          (F.col("label") - F.col("p")).alias("g"))
+            sc = zz.join(ec, "center").join(eo, ["target", "dim"])
+            scale = float(_Q) * float(m_pairs)
+            gin = (sc.select(F.col("center").alias("node_id"), "dim",
+                             (F.col("g") * F.col("wout")).alias("v"))
+                   .groupBy("node_id", "dim")
+                   .agg((F.sum(_ml(F.col("v"))) / scale).alias("gin")))
+            gout = (sc.select(F.col("target").alias("node_id"), "dim",
+                              (F.col("g") * F.col("win")).alias("v"))
+                    .groupBy("node_id", "dim")
+                    .agg((F.sum(_ml(F.col("v"))) / scale).alias("gout")))
+            emb = (emb.join(gin, ["node_id", "dim"], "left")
+                   .join(gout, ["node_id", "dim"], "left")
+                   .select("node_id", "dim",
+                           (F.col("win") + F.lit(lr)
+                            * F.coalesce("gin", F.lit(0.0))).alias("win"),
+                           (F.col("wout") + F.lit(lr)
+                            * F.coalesce("gout", F.lit(0.0))).alias("wout")))
+            emb = scratch.truncate(emb, "emb")
+
+        arr = emb.groupBy("node_id").agg(
+            F.array_sort(F.collect_list(F.struct("dim", "win"))).alias("_z"))
+        out = arr.select(
+            "node_id",
+            F.transform(F.col("_z"), lambda s: F.round(s["win"], 6))
+            .alias("embedding"))
+        out = out.localCheckpoint(eager=True)
+        out.loss_history = history  # type: ignore[attr-defined]
+        return out
     finally:
-        pair_df.unpersist()
-
-    out = spark.createDataFrame(pd.DataFrame({
-        "node_id": node_ids,
-        "embedding": [np.round(w_in[i], 6).tolist() for i in range(n)],
-    }))
-    out = out.localCheckpoint(eager=True)
-    out.loss_history = history  # type: ignore[attr-defined]
-    return out
+        scratch.cleanup()
 
 
 def hashgnn(

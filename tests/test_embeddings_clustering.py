@@ -213,3 +213,32 @@ def test_node2vec_parity_mode_unchanged(spark):
     b = {r["node_id"]: r["embedding"]
          for r in node2vec(g, embedding_dim=4, seed=7, mode="parity").collect()}
     assert a == b and len(a) == 3
+
+
+def test_node2vec_distributed_no_nrow_driver_collect(spark, monkeypatch):
+    """The executor-resident trainer's driver traffic per epoch is one
+    loss scalar; the only multi-row collect anywhere is the 64-row bucket
+    totals of the dense-rank prefix (plans/partitioning.py). Spy on
+    collect: no batch may exceed the bucket count — in particular nothing
+    n-sized (node ids, model, gradients) may cross the driver."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from graph_data_science_spark.operators.embeddings import node2vec
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    edges = edges_from_tuples(
+        spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3),
+                (1, 0), (2, 1), (0, 2), (4, 3), (5, 4), (3, 5)])
+    g = graph_from_edges(spark, edges)
+    out = node2vec(g, embedding_dim=8, epochs=2, seed=4, num_partitions=4)
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert out.count() == 6
+    assert sizes and max(sizes) <= 64
