@@ -23,7 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graph_data_science_spark.graph import Graph
+from graph_data_science_spark.graph import Graph, graph_from_edges
 from graph_data_science_spark.operators.degree import degree_centrality
 from graph_data_science_spark.operators.dedup import (
     exact_duplicates,
@@ -295,6 +295,85 @@ def _dag_levels_sql(iters: int = 6) -> str:
             f"FROM {p} v LEFT JOIN r{k} r ON v.node_id = r.node_id),")
     body = "\n".join(parts).rstrip(",") + "\n"
     return body + f"SELECT node_id, level FROM v{iters}"
+
+
+#: the bellman_ford_negative fixture (operators/paths.bellman_ford): ring
+#: 0→1→…→24→0 (w=1) + back-chords k→k−3 (w=−2) at k ∈ {5,10,15,20} —
+#: negative edges, no negative cycle (each 4-loop totals +1)
+_BF_RING_SQL = """bfe AS MATERIALIZED (
+SELECT CAST(n_nationkey AS BIGINT) AS src,
+       CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight FROM nation
+UNION ALL
+SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey - 3 AS BIGINT),
+       CAST(-2.0 AS DOUBLE)
+FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey > 0)"""
+
+
+def _bellman_ford_negative_sql(rounds: int = 26) -> str:
+    """Unrolled Bellman-Ford relaxation from source 0 over the ring
+    fixture — schedule-free (full relax each round reaches the same
+    fixpoint as the engine's frontier schedule); error() unless the last
+    round changed nothing (the leiden-style fixpoint ASSERT, not an
+    assumed-depth unroll)."""
+    parts = ["WITH " + _BF_RING_SQL + ",",
+             "d0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS "
+             "node_id, CASE WHEN n_nationkey = 0 THEN 0.0 ELSE 1e18 END "
+             "AS dist FROM nation),"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT n.node_id, "
+            f"LEAST(n.dist, COALESCE(m.c, n.dist)) AS dist "
+            f"FROM d{r - 1} n LEFT JOIN ("
+            f"SELECT e.dst AS node_id, MIN(p.dist + e.weight) AS c "
+            f"FROM bfe e JOIN d{r - 1} p ON e.src = p.node_id "
+            f"WHERE p.dist < 1e17 GROUP BY e.dst) m "
+            f"ON n.node_id = m.node_id),")
+    parts.append(
+        f"fx AS MATERIALIZED (SELECT COUNT(*) AS nn FROM d{rounds} a "
+        f"JOIN d{rounds - 1} b ON a.node_id = b.node_id "
+        f"AND a.dist <> b.dist)")
+    parts.append(
+        f"SELECT a.node_id, CASE WHEN f.nn = 0 THEN ROUND(a.dist, 6) "
+        f"ELSE error('bellman-ford unroll not converged') END AS distance "
+        f"FROM d{rounds} a, fx f")
+    return "\n".join(parts)
+
+
+#: bellman_ford_cycles: INDEPENDENT oracle — enumerate all simple
+#: negative cycles of the branch fixture by bounded recursive search
+#: (not a mirror of the engine's pred-graph recovery; the fixture's four
+#: 3-cycles are disjoint, so both computations provably yield the same
+#: set: pred-recovery finds ≥1 cycle per disjoint trapped region and
+#: every pred-graph cycle is a negative cycle)
+_BELLMAN_FORD_CYCLES_SQL = """WITH RECURSIVE bfe AS MATERIALIZED (
+SELECT CAST(0 AS BIGINT) AS src, CAST(n_nationkey AS BIGINT) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey > 0
+UNION ALL
+SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey + 1 AS BIGINT),
+       CAST(1.0 AS DOUBLE)
+FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey > 0
+UNION ALL
+SELECT CAST(n_nationkey + 1 AS BIGINT), CAST(n_nationkey + 2 AS BIGINT),
+       CAST(1.0 AS DOUBLE)
+FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey > 0
+UNION ALL
+SELECT CAST(n_nationkey + 2 AS BIGINT), CAST(n_nationkey AS BIGINT),
+       CAST(-3.0 AS DOUBLE)
+FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey > 0),
+walk(start, cur, total, path) AS (
+  SELECT src, dst, weight, [src, dst] FROM bfe
+  UNION ALL
+  SELECT w.start, e.dst, w.total + e.weight, list_append(w.path, e.dst)
+  FROM walk w JOIN bfe e ON w.cur = e.src
+  WHERE w.cur <> w.start
+    AND (e.dst = w.start OR NOT list_contains(w.path, e.dst))
+),
+neg AS (SELECT path FROM walk WHERE cur = start AND total < 0),
+mem AS (SELECT CAST(list_min(path) AS BIGINT) AS cycle_id,
+               CAST(UNNEST(path) AS BIGINT) AS node_id FROM neg)
+SELECT DISTINCT cycle_id, node_id FROM mem"""
 
 
 def _kcore_sql(k: int, rounds: int = 10) -> str:
@@ -1510,6 +1589,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from graph_data_science_spark.operators.scc import scc as scc_op
     q["scc"] = lambda s, d: scc_op(_scc_graph(s, d))
 
+    # -- negative-weight Bellman-Ford (gds.bellmanFord full contract) --------
+    # deterministic fixtures derived from the 25-row nation table:
+    # _bf_ring — 0→1→…→24→0 ring (w=1) + back-chords k→k−3 (w=−2) at
+    #   k ∈ {5,10,15,20}: negative edges, NO negative cycle (each 4-loop
+    #   totals +1) — exercises negative-weight relaxation to the fixpoint;
+    # _bf_branches — four DISJOINT 3-cycles (total −1 each) hanging off
+    #   source 0 — each is independently recovered through the pred graph
+    #   (disjoint by construction: pred-based recovery returns the cycles
+    #   the relaxation discovers, and overlapping cycles can shadow each
+    #   other's pred structure — same property as the reference's).
+    from graph_data_science_spark.operators.paths import bellman_ford
+
+    def _bf_ring(s, d):
+        nat = s.read.parquet(f"{d}/nation.parquet").select(
+            F.col("n_nationkey").cast("long").alias("k"))
+        ring = nat.select(F.col("k").alias("src"),
+                          ((F.col("k") + 1) % 25).alias("dst"),
+                          F.lit(1.0).alias("weight"))
+        chords = nat.where((F.col("k") % 5 == 0) & (F.col("k") > 0)).select(
+            F.col("k").alias("src"), (F.col("k") - 3).alias("dst"),
+            F.lit(-2.0).alias("weight"))
+        return graph_from_edges(s, ring.unionByName(chords),
+                                nat.select(F.col("k").alias("node_id")))
+
+    def _bf_branches(s, d):
+        nat = s.read.parquet(f"{d}/nation.parquet").select(
+            F.col("n_nationkey").cast("long").alias("k"))
+        heads = nat.where((F.col("k") % 5 == 0) & (F.col("k") > 0))
+        edges = (
+            heads.select(F.lit(0).cast("long").alias("src"),
+                         F.col("k").alias("dst"), F.lit(1.0).alias("weight"))
+            .unionByName(heads.select(
+                F.col("k").alias("src"), (F.col("k") + 1).alias("dst"),
+                F.lit(1.0).alias("weight")))
+            .unionByName(heads.select(
+                (F.col("k") + 1).alias("src"), (F.col("k") + 2).alias("dst"),
+                F.lit(1.0).alias("weight")))
+            .unionByName(heads.select(
+                (F.col("k") + 2).alias("src"), F.col("k").alias("dst"),
+                F.lit(-3.0).alias("weight"))))
+        return graph_from_edges(s, edges,
+                                nat.select(F.col("k").alias("node_id")))
+
+    q["bellman_ford_negative"] = lambda s, d: bellman_ford(
+        _bf_ring(s, d), 0).distances.select(
+        "node_id", F.round("distance", 6).alias("distance"))
+    q["bellman_ford_cycles"] = lambda s, d: bellman_ford(
+        _bf_branches(s, d), 0).negative_cycles
+
     # -- embeddings / clustering ---------------------------------------------
     from graph_data_science_spark.operators.clustering import k1coloring, kmeans
     from graph_data_science_spark.operators.embeddings import fastrp, random_walks
@@ -2320,6 +2448,8 @@ WHERE a.src <> b.dst"""
         "AS BIGINT) AS topo_rank FROM dl")
     o["astar"] = _astar_sql(source=1)
     o["dag_longest_path"] = _dag_longest_path_sql()
+    o["bellman_ford_negative"] = _bellman_ford_negative_sql()
+    o["bellman_ford_cycles"] = _BELLMAN_FORD_CYCLES_SQL
     o["k_core_3"] = _kcore_sql(3)
     o["coreness"] = _coreness_sql()
 

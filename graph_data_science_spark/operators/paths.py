@@ -768,3 +768,149 @@ def dag_longest_path(graph: Graph, weighted: bool = True,
             f"dag_longest_path did not converge in {max_iterations} iterations"
             " — graph has a cycle")
     return res.state.select("node_id", "dist", "pred")
+
+
+@dataclass
+class BellmanFordResult:
+    distances: DataFrame        # (node_id, distance, pred) — ∞ = unreachable
+    negative_cycles: DataFrame  # (cycle_id, node_id); empty when none
+    contains_negative_cycle: bool
+    ran_iterations: int
+
+
+def bellman_ford(graph: Graph, source: int, weighted: bool = True,
+                 max_iterations: int | None = None) -> BellmanFordResult:
+    """``gds.bellmanFord`` analog with the reference's FULL contract —
+    negative weights allowed, negative cycles reachable from the source
+    detected and streamed (algo/.../paths/bellmanford/BellmanFord.java
+    relaxes with negative weights and tracks cycles through predecessor
+    chains). :func:`shortest_paths` stays the non-negative fast path
+    (frontier relaxation converges in ≤ diameter supersteps); negative
+    weights inherently pay the Bellman-Ford worst case of O(V) rounds,
+    which is also the reference's bound.
+
+    Distances: frontier relaxation with predecessor tracking — candidate
+    per dst is ``min(struct(dist+w, src))``, so pred tie-breaks to the
+    smallest source id deterministically. A frontier still live after V
+    rounds proves a reachable negative cycle (a shortest simple path has
+    ≤ V−1 edges); recovery is the standard pred-graph construction, all
+    set arithmetic:
+
+    - AFFECTED = the live frontier after round V;
+    - pointer-doubling over pred (⌈log2 V⌉ self-joins) lands every
+      affected node ON a pred-graph cycle (any cycle in the pred graph
+      is a negative cycle);
+    - pred-closure of the landed set completes each cycle (the pred of a
+      cycle node is the previous cycle node);
+    - min-label propagation over the symmetrized intra-member pred edges
+      groups members; ``cycle_id`` = min member id.
+
+    When a cycle is present, ``distances`` holds the (non-final) round-V
+    tentative values — like the reference, routes are not meaningful in
+    that case and callers should read ``negative_cycles``.
+    """
+    import math as _math
+
+    from graph_data_science_spark.operators.louvain import _Scratch
+    if weighted and not graph.has_weight():
+        raise ValueError("weighted bellman_ford requires edges.weight")
+    spark = graph.nodes.sparkSession
+    n = graph.node_count()
+    rounds = min(int(max_iterations), n) if max_iterations is not None else n
+    scratch = _Scratch(spark)
+    try:
+        w = F.col("weight").cast("double") if weighted else F.lit(1.0)
+        edges = scratch.truncate(
+            graph.edges.select("src", "dst", w.alias("w")), "edges")
+        state = graph.nodes.select(
+            "node_id",
+            F.when(F.col("node_id") == int(source), F.lit(0.0))
+            .otherwise(F.lit(_INF)).alias("dist"),
+            F.lit(None).cast("long").alias("pred"),
+            (F.col("node_id") == int(source)).cast("int").alias("_chg"))
+        state = scratch.truncate(state, "state")
+        live, ran = 1, 0
+        while ran < rounds and live:
+            fr = state.where(F.col("_chg") == 1).select(
+                F.col("node_id").alias("src"), F.col("dist").alias("_d"))
+            cand = (edges.join(shuffle_hash(fr), "src")
+                    .groupBy("dst")
+                    .agg(F.min(F.struct(
+                        (F.col("_d") + F.col("w")).alias("d"),
+                        F.col("src").alias("p"))).alias("_c")))
+            st = state.join(shuffle_hash(cand),
+                            state.node_id == cand.dst, "left")
+            better = F.col("_c.d") < F.col("dist")
+            state = st.select(
+                state.node_id,
+                F.when(better, F.col("_c.d")).otherwise(F.col("dist"))
+                .alias("dist"),
+                F.when(better, F.col("_c.p")).otherwise(F.col("pred"))
+                .alias("pred"),
+                F.coalesce(better.cast("int"), F.lit(0)).alias("_chg"))
+            state = scratch.truncate(state, "state")
+            live = int(state.agg(F.sum("_chg")).first()[0] or 0)
+            ran += 1
+        distances = state.select(
+            "node_id", F.col("dist").alias("distance"), "pred")
+        if not live:
+            empty = spark.createDataFrame([], "cycle_id long, node_id long")
+            return BellmanFordResult(
+                distances.localCheckpoint(eager=True), empty, False, ran)
+
+        preds = state.where(F.col("pred").isNotNull()) \
+            .select("node_id", "pred")
+        preds = scratch.truncate(preds, "preds")
+        jump = preds.select("node_id", F.col("pred").alias("anc"))
+        for _ in range(max(1, _math.ceil(_math.log2(max(2, n))))):
+            j2 = jump.select(F.col("node_id").alias("anc"),
+                             F.col("anc").alias("_a2"))
+            jump = (jump.join(j2, "anc", "left")
+                    .select("node_id", F.col("_a2").alias("anc")))
+            jump = scratch.truncate(jump, "jump")
+        affected = state.where(F.col("_chg") == 1).select("node_id")
+        landed = (affected.join(jump, "node_id")
+                  .where(F.col("anc").isNotNull())
+                  .select(F.col("anc").alias("node_id")).distinct())
+        members = scratch.truncate(landed, "members")
+        for _ in range(n):
+            grow = (members.join(preds, "node_id")
+                    .select(F.col("pred").alias("node_id")).distinct()
+                    .join(members, "node_id", "left_anti"))
+            grow = scratch.truncate(grow, "grow")
+            if scratch._rows.get("grow", 0) == 0:
+                break
+            members = scratch.truncate(members.unionByName(grow), "members")
+        ce = (preds.join(members, "node_id", "left_semi")
+              .join(members.select(F.col("node_id").alias("pred")),
+                    "pred", "left_semi"))
+        sym = ce.select(F.col("node_id").alias("a"), F.col("pred").alias("b"))
+        sym = sym.unionByName(
+            sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        sym = scratch.truncate(sym, "sym")
+        lab = members.select("node_id", F.col("node_id").alias("lab"))
+        lab = scratch.truncate(lab, "lab")
+        for _ in range(n):
+            msg = (sym.join(lab.select(F.col("node_id").alias("a"), "lab"),
+                            "a")
+                   .groupBy(F.col("b").alias("node_id"))
+                   .agg(F.min("lab").alias("_m")))
+            nxt = (lab.select("node_id", F.col("lab").alias("_old"))
+                   .join(msg, "node_id", "left")
+                   .select("node_id", "_old",
+                           F.least(F.col("_old"),
+                                   F.coalesce("_m", F.col("_old")))
+                           .alias("lab")))
+            nxt = scratch.truncate(nxt, "nxt")
+            moved = int(nxt.agg(F.sum(
+                (F.col("lab") != F.col("_old")).cast("int"))).first()[0] or 0)
+            lab = scratch.truncate(nxt.select("node_id", "lab"), "lab")
+            if moved == 0:
+                break
+        cycles = lab.select(F.col("lab").alias("cycle_id"),
+                            "node_id").distinct()
+        return BellmanFordResult(
+            distances.localCheckpoint(eager=True),
+            cycles.localCheckpoint(eager=True), True, ran)
+    finally:
+        scratch.cleanup()

@@ -162,3 +162,56 @@ def test_delta_stepping_unreachable_and_source(spark):
     got = rows_to_dict(shortest_paths_delta(g, source=0).distances,
                        "node_id", "distance")
     assert got == {0: 0.0, 1: 1.5, 2: INF}
+
+
+def test_bellman_ford_negative_weights_no_cycle(spark):
+    from graph_data_science_spark.operators.paths import bellman_ford
+
+    # 0->1 (4), 0->2 (1), 2->1 (-2): negative edge shortens 0->1 to -1;
+    # 1->3 (1) rides the improved prefix
+    edges = edges_from_tuples(
+        spark, [(0, 1, 4.0), (0, 2, 1.0), (2, 1, -2.0), (1, 3, 1.0)],
+        weighted=True)
+    g = graph_from_edges(spark, edges)
+    res = bellman_ford(g, 0)
+    assert res.contains_negative_cycle is False
+    assert res.negative_cycles.count() == 0
+    d = {r["node_id"]: r["distance"] for r in res.distances.collect()}
+    assert d[0] == 0.0 and d[2] == 1.0 and d[1] == -1.0 and d[3] == 0.0
+    p = {r["node_id"]: r["pred"] for r in res.distances.collect()}
+    assert p[1] == 2 and p[3] == 1 and p[0] is None
+
+
+def test_bellman_ford_streams_negative_cycles(spark):
+    from graph_data_science_spark.operators.paths import bellman_ford
+
+    # two disjoint planted negative cycles hanging off the source chain:
+    # 0->1->2->3->1 (1+1-3 = -1) and 0->10, 10->11->12->11 (1-2 = -1),
+    # plus an untouched positive tail 3->4
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 1, -3.0),
+                (3, 4, 1.0), (0, 10, 1.0), (10, 11, 1.0), (11, 12, 1.0),
+                (12, 11, -2.0)],
+        weighted=True)
+    g = graph_from_edges(spark, edges)
+    res = bellman_ford(g, 0)
+    assert res.contains_negative_cycle is True
+    got = {}
+    for r in res.negative_cycles.collect():
+        got.setdefault(r["cycle_id"], set()).add(r["node_id"])
+    assert got == {1: {1, 2, 3}, 11: {11, 12}}
+
+
+def test_bellman_ford_unreachable_cycle_not_reported(spark):
+    from graph_data_science_spark.operators.paths import bellman_ford
+
+    # negative cycle 5->6->5 is NOT reachable from source 0 — the
+    # reference only reports cycles reachable from the source
+    edges = edges_from_tuples(
+        spark, [(0, 1, 1.0), (5, 6, 1.0), (6, 5, -3.0)], weighted=True)
+    g = graph_from_edges(spark, edges)
+    res = bellman_ford(g, 0)
+    assert res.contains_negative_cycle is False
+    assert res.negative_cycles.count() == 0
+    d = {r["node_id"]: r["distance"] for r in res.distances.collect()}
+    assert d[1] == 1.0 and d[5] == float("inf")
