@@ -94,18 +94,119 @@ def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 20,
-              text_col: str = "text") -> list[tuple[str, str]]:
+import os
+
+#: word-table row gate for the driver-local merge loop (louvain's
+#: size-gated local-finish pattern): the merge loop's state is the
+#: DISTINCT-WORD frequency table — vocab-scale, not corpus-scale — so
+#: below this gate the whole sequential loop runs on the driver with
+#: ZERO Spark jobs per merge; above it, the distributed batched loop
+#: takes over. Override with SPARK_GRAFT_BPE_LOCAL_MAX_WORDS.
+_BPE_LOCAL_MAX_WORDS = int(os.environ.get(
+    "SPARK_GRAFT_BPE_LOCAL_MAX_WORDS", "2000000"))
+
+
+def _bpe_train_local(rows: list, n_merges: int) -> list[tuple[str, str]]:
+    """Classic sequential BPE over collected (freq, syms) rows — the
+    bit-exact local finish of :func:`bpe_train` (same greedy fold, same
+    (count desc, l asc, r asc) tie-break, same best<2 stop)."""
+    words = [(int(f), list(s)) for f, s in rows]
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for f, syms in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        left, right = best[0]
+        merges.append((left, right))
+        for f, syms in words:
+            i, out = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms[:] = out
+    return merges
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 20, text_col: str = "text",
+              batch_candidates: int = 256,
+              local_finish_max_words: int | None = None
+              ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus → ordered merge list.
 
     Stops early when no adjacent pair occurs at least twice (merging a
     hapax pair learns nothing). Deterministic: tie-break is
     (count desc, left asc, right asc).
+
+    TWO paths, identical results (pinned by a pytest equality case):
+
+    LOCAL FINISH (word table ≤ ``local_finish_max_words``, default 2M —
+    the louvain size-gated local-finish pattern): the merge loop's state
+    is the distinct-word frequency table, which is VOCAB-scale, so the
+    whole sequential loop runs driver-side in one collect — 2 Spark jobs
+    total regardless of n_merges (the corpus-scale work, word counting,
+    already happened distributed). This is also the honest production
+    architecture: distributed word count, then an in-memory classic
+    trainer over the bounded word table.
+
+    DISTRIBUTED path (above the gate): BATCHED rounds, sequentially
+    EXACT — one Spark round no longer buys just one merge (a production
+    32k-merge vocab = 32k sequential jobs — the round-4 review's scale
+    hazard); each round collects the top ``batch_candidates`` pairs and
+    applies the longest prefix of the classic pick order that is
+    PROVABLY what sequential BPE would have picked, so the merge list is
+    bit-identical to one-merge-at-a-time training:
+
+    - accepted pairs must be pairwise NON-INTERACTING (no shared symbol,
+      no concat equal to another's symbol or concat) and their concat
+      must be a genuinely NEW symbol (checked against a driver-side
+      registry = base alphabet ∪ prior merge results — exact, since
+      every symbol is one of those two) — then no accepted merge changes
+      another accepted pair's count;
+    - the batch stops at the FIRST interacting pair in sorted order
+      (prefix contiguity matters: it proves every not-accepted old pair
+      counts ≤ the stop count), and a STRICT-DOMINANCE cut drops
+      accepted tail pairs with count ≤ the stop count — merging can only
+      create pairs bounded by some interacting old pair's count, so
+      everything a batch merge creates or changes stays STRICTLY below
+      every accepted count, and sequential BPE provably picks the
+      accepted prefix in exactly this order;
+    - a round that can't batch (tie at the boundary) falls back to the
+      classic single merge, which needs no proof.
+
+    Batch sizes on character-level early rounds are small (single-letter
+    symbols interact densely) — the local finish is the big lever; the
+    batching bounds the above-gate path. Measured round counts:
+    scripts/bpe_train_rounds.py.
     """
+    gate = (_BPE_LOCAL_MAX_WORDS if local_finish_max_words is None
+            else int(local_finish_max_words))
     loop = LoopState()
     state = loop.truncate(_word_table(docs, text_col))
+    n_words = state.count()
+    if n_words <= gate:
+        rows = [(r["freq"], r["syms"])
+                for r in state.select("freq", "syms")
+                .orderBy("word").collect()]
+        loop.release()
+        return _bpe_train_local(rows, int(n_merges))
+    # exact symbol registry: base alphabet (+EOW) now, + one entry per
+    # applied merge — every symbol in every word is one of the two
+    symbols = {r["s"] for r in
+               state.select(F.explode("syms").alias("s")).distinct().collect()}
     merges: list[tuple[str, str]] = []
-    for _ in range(int(n_merges)):
+    while len(merges) < int(n_merges):
         pairs = state.where(F.size("syms") >= 2).select(
             "freq",
             F.explode(F.expr(
@@ -113,13 +214,38 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
                 " slice(syms, 2, size(syms) - 1),"
                 " (a, b) -> struct(a AS l, b AS r))")).alias("p"),
         ).groupBy("p.l", "p.r").agg(F.sum("freq").alias("c"))
-        best = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
-        if not best or int(best[0]["c"]) < 2:
+        top = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")) \
+            .limit(int(batch_candidates)).collect()
+        if not top or int(top[0]["c"]) < 2:
             break
-        left, right = best[0]["l"], best[0]["r"]
-        merges.append((left, right))
-        state = loop.truncate(state.select(
-            "word", "freq", _merge_fold("syms", left, right).alias("syms")))
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        stop_c = int(top[-1]["c"])  # conservative when nothing interacts
+        for r in top:
+            left, right, c = r["l"], r["r"], int(r["c"])
+            if c < 2:
+                stop_c = c
+                break
+            concat = left + right
+            if (left in used or right in used or concat in used
+                    or concat in symbols):
+                stop_c = c
+                break
+            batch.append((left, right, c))
+            used.update((left, right, concat))
+        while batch and batch[-1][2] <= stop_c:
+            batch.pop()
+        if not batch:
+            # boundary tie (or concat collision at the top): classic
+            # single merge — always legal, always progress
+            batch = [(top[0]["l"], top[0]["r"], int(top[0]["c"]))]
+        col: Column = F.col("syms")
+        for left, right, _ in batch[: int(n_merges) - len(merges)]:
+            merges.append((left, right))
+            symbols.add(left + right)
+            col = _merge_fold(col, left, right)
+        state = loop.truncate(state.select("word", "freq",
+                                           col.alias("syms")))
     loop.release()
     return merges
 

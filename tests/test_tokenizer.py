@@ -173,3 +173,20 @@ def test_bpe_encode_ids_null_text_keeps_row(spark, docs):
     assert ids[2]["ids"] == [] and ids[2]["n_bpe_tokens"] == 0
     assert ids[3]["ids"] == []
     assert len(ids[1]["ids"]) == ids[1]["n_bpe_tokens"] > 0
+
+
+def test_bpe_train_local_equals_distributed(spark):
+    """The size-gated local finish and the batched distributed loop must
+    learn the IDENTICAL merge list (same greedy fold, same tie-break) —
+    the louvain local-finish discipline, pinned here."""
+    from graph_data_science_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the hat and the bat",
+             "a cat and a hat sat", "mats and hats and bats",
+             "the the the cat cat"] * 3)],
+        ["doc_id", "text"])
+    local = bpe_train(docs, n_merges=15)
+    dist = bpe_train(docs, n_merges=15, local_finish_max_words=0)
+    assert local == dist and len(local) == 15
