@@ -171,6 +171,19 @@ def _child(name: str, sf_dir: str, cpus: int) -> None:
     (spark.range(1000).withColumn("g", F.col("id") % 8)
      .groupBy("g")
      .applyInPandas(lambda p: p.head(1), schema="id long, g long").count())
+    # same-SHAPE untimed warmup at the smallest SF: a fresh JVM charges
+    # first-execution codegen/JIT of each query's specific plan shapes to
+    # the first run (measured ~1-4 s per query at sf0.1 — the whole
+    # text_stats/label_propagation clean-window delta vs the warm
+    # single-session r02 floors, BENCH/BASELINE.md §B.12); running the
+    # query once at sf0.001 warms exactly those shapes so the timed run
+    # measures the kernel, matching the r02 warm-session condition
+    tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(tiny) and os.path.abspath(tiny) != os.path.abspath(sf_dir):
+        try:
+            _run_query(name, spark, tiny)
+        except Exception:
+            pass  # warmup is best-effort; the timed run decides
     sec, extras = _run_query(name, spark, sf_dir)
     print(json.dumps({"name": name, "sec": sec, "loadavg": load1,
                       "extras": extras}))
