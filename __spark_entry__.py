@@ -2091,221 +2091,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     driver-gated green in a previous round with unchanged code since —
 #     all of which tests/test_entry_oracle.py still value-hashes at every
 #     pytest run and the sf0.01 mirror re-proves at gate scale;
-# (3) rows-only entries get a gate slot only when their kernel changed
-#     (the hash gate proves just run-without-error there — pytest already
-#     proves more — so oracled entries outrank them for slots).
+# (3) rows-only entries NEVER take gate slots (r04 verdict #5: a hash gate
+#     proves only run-without-error there, which pytest already proves) —
+#     changed rows-only kernels are instead exercised at gate scale via
+#     scripts/run_ungated.py, recorded per round in BENCH/BASELINE.md.
 _GATE_FIRST = [
-    # missed by the round-2 gate cap (positions 51-55)
-    "minhash_signatures", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "simhash", "embedding_cosine_topk",
-    # ROUND 4 changed/new kernels (policy 1):
-    # wcc — the mirrored-edge distinct() removal (same result, one fewer
-    # shuffle; min-propagation is idempotent to duplicate edges)
-    "wcc",
-    # the one oracled entry no driver gate ever covered (r03 verdict #3)
-    "embedding_near_duplicates",
-    # new round-4 oracled entries: filtered exact knn (FilteredKnn.java
-    # semantics) and leiden at its deterministic γ=1/θ=0 configuration
-    # (connectivity-refinement unroll added to the louvain SQL recurrence)
-    "knn_filtered", "leiden_deterministic",
-    # round-4 kernel changes, rows-only (policy 3's exception):
-    # bpe_encode_ids — NULL-text docs now keep a row; knn_filtered_nn_descent
-    # — the nn-descent state carries the new target-list column (also
-    # representative for knn_embeddings, which shares the kernel)
-    "bpe_encode_ids", "knn_filtered_nn_descent",
-    # round-3 additions still inside the cap
-    "kmeans",
-    # session-8: CCNet bucketing (exact two-level NTILE over lm_score) —
-    # takes embedding_near_duplicates' slot: that entry is a threshold
-    # variant of the SAME tiled-GEMM kernel as the gated
-    # embedding_cosine_topk, so the kernel keeps its hash gate
-    "lm_buckets",
-    # session-8: exact-substring dedup (duplicate spans), fully oracled —
-    # takes the slots of the rows-only knn_embeddings /
-    # embedding_cosine_topk_ivf (run-without-error is all a hash gate can
-    # prove for those; pytest recall/equality tests already prove more)
-    "duplicate_spans", "remove_duplicate_spans",
-    # round-3 corpus-pipeline additions (all fully oracled)
-    "near_duplicate_clusters", "corpus_vocabulary", "tfidf_top_terms",
-    "decontaminate", "hash_split",
-    # round-3 batch 2: sequence packing, corpus mixing, PII/blocklist scan,
-    # one-hot encoding function (OneHotEncodingFunc parity)
-    "pack_sequences", "stratified_sample", "regex_scan", "one_hot_lang",
-    # round-3 batch 2: hashing-trick featurizer (oracled). Its sibling
-    # quality_classifier_scores is rows-only (model training is not
-    # SQL-expressible) — a gate slot buys only run-without-error there,
-    # which pytest already proves, so the slot goes to a value-hashed
-    # entry instead (see embedding_lsh_buckets below)
-    "hashed_features",
-    # session-8: CCNet-style Stupid-Backoff LM quality scoring, fully
-    # oracled — takes the slot of the rows-only leiden (whose γ/θ kernel
-    # change is pinned by the gamma/theta/connectivity pytest suite and
-    # run-at-gate-scale by scripts/run_ungated.py; a hash gate adds
-    # nothing beyond run-without-error for rows-only entries)
-    "lm_score",
-    # round-3 addition: Gopher-style repetition filters (new kernel)
-    "repetition_stats",
-    # round-3 addition: GDS *.stats execution-mode distributions
-    "pagerank_stats", "wcc_stats",
-    # round-3 additions: function surface (gds.similarity.* /
-    # gds.alpha.linkprediction.* / splitRelationships). SLLPA is rows-only
-    # (randomized in the reference) — its gate slot goes to the fully
-    # oracled near_duplicate_keep (see below); pytest still runs sllpa
-    "similarity_functions_vec", "similarity_functions_set",
-    "link_prediction",
-    # round-3 session-4 kernel change still inside the cap: k_core
-    # (LoopState retire-previous + single-action rounds)
-    "k_core_3",
-    # round-3 session-4 additions: PMI-lift collocations and exact-integer
-    # banded LSH over embeddings (the pairs entry exercises the buckets
-    # kernel too; embedding_lsh_buckets itself is pytest-mirrored)
-    "bigram_collocations", "embedding_lsh_pairs",
-    # round-3 session-5 additions: segment-level exact dedup (new kernel in
-    # dedup.py) and BM25 retrieval (new kernel in pipeline_ops.py) — both
-    # fully oracled, gate them on first exposure
-    "segment_dedup", "bm25_topk",
-    # round-3 session-6 additions: PII redaction, shuffle-shards training
-    # order, token-budget sampling (two-level prefix sum) — gate on first
-    # exposure
-    "regex_redact", "shuffle_shards", "token_budget_sample",
-    # round-3 session-7 kernel change: size-gated driver-side local finish
-    # for louvain/modularityOptimization — gate BOTH paths (louvain takes
-    # the local path at sf0.01; louvain_distributed pins the distributed
-    # sub-round kernel; modularity_optimization's single level runs local)
+    # ROUND 5 changed kernels (policy 1):
+    # centrality.py MSBFS rewrite (per-level scratch streams, exact-count
+    # broadcast gating) — every rider of the kernel re-gates
+    "betweenness", "closeness", "closeness_wf", "harmonic",
+    "all_shortest_paths",
+    # influence.py: distributed per-round argmax
+    "celf",
+    # dedup.py MinHash family modulus 1,000,003 → 2^31−1 (ADVICE r04) —
+    # signatures, the band join, and both near-dup recipes built on them
+    "minhash_signatures", "minhash_lsh_pairs",
+    "near_duplicate_clusters", "near_duplicate_keep",
+    # NEW round-5 oracled entries: negative-weight Bellman-Ford distances
+    # (ring fixture) and negative-cycle streaming (branch fixture)
+    "bellman_ford_negative", "bellman_ford_cycles",
+    # oracle SQL changed (fixpoint error() assert added to the refine
+    # unroll per ADVICE r04) — the gate runs the oracle, so it re-gates
+    "leiden_deterministic",
+    # louvain.py _Scratch gained rows_hint (the truncation substrate every
+    # scratch loop shares) — louvain local+distributed pair + the
+    # single-level variant re-gate as the substrate representatives
     "louvain", "louvain_distributed", "modularity_optimization",
-    # round-3 session-7 addition: product quantization (codebook train +
-    # encode + ADC top-k), fully oracled — gate on first exposure. This
-    # displaces triangle_count/node_similarity past the cap: both were
-    # driver-gated green in r02, their kernels are untouched since, and
-    # tests/test_entry_oracle.py still value-hashes them every pytest run
-    "pq_codes", "pq_topk",
-    # round-3 session-7 addition: mergeable corpus sketches (HLL distinct
-    # counts + log2-histogram quantiles), fully oracled — gate on first
-    # exposure
-    "hll_registers_lang", "hll_lang_distinct", "nchars_quantiles",
-    # round-3 session-8 gate strengthening: the last two fully-oracled
-    # entries that had never been driver-gated, taking the slots freed by
-    # the rows-only sllpa / quality_classifier_scores (which a hash gate
-    # cannot check beyond run-without-error — pytest already does that).
-    # embedding_lsh_buckets value-hashes the exact-integer signature
-    # kernel directly (stronger than riding embedding_lsh_pairs);
-    # near_duplicate_keep is the session-6 keep-policy election over the
-    # LSH pair graph
-    "embedding_lsh_buckets", "near_duplicate_keep",
-]
-_GATE_LAST = [
-    # displaced by the ROUND-4 gates (wcc / embedding_near_duplicates /
-    # knn_filtered / leiden_deterministic / bpe_encode_ids /
-    # knn_filtered_nn_descent): all six below were r03-driver-gated green
-    # (CORRECTNESS_r03) and their kernels are untouched in round 4 —
-    # astar/dag_longest_path/sssp_delta/dag_topological_sort ride paths.py
-    # (unchanged), kmeans stays gated, hits rides hits.py (unchanged).
-    # All remain value-hashed by tests/test_entry_oracle.py every run.
-    "astar", "dag_longest_path", "sssp_delta", "dag_topological_sort",
-    "hits", "split_relationships",
-    # displaced by the session-7 gates (louvain local-finish pair, product
-    # quantization, sketches) — _GATE_FIRST now fills the 50-slot cap
-    # exactly, so EVERY entry below it is ungated this round, including
-    # the core four, betweenness, and shortest_path_dijkstra (all
-    # driver-gated green in r01 AND r02 with kernels untouched since, all
-    # value-hashed by tests/test_entry_oracle.py at every pytest run, the
-    # core four + betweenness also re-executed end-to-end per bench run
-    # at sf0.1, and ALL 50+ entries re-run at sf0.01 via
-    # scripts/run_ungated.py this session — 60 ran, 0 failed). The
-    # 50-slot gate goes to kernels that have never been driver-gated in
-    # their current form. ivfpq_topk (rows-only) also sits outside the
-    # cap: its components (kmeans, pq_codes, pq_topk) are each fully
-    # oracled inside the gate, and its full-probe case is pytest-pinned
-    # EQUAL to pq_topk.
-    "pagerank", "label_propagation", "triangle_count",
-    "node_similarity", "betweenness", "shortest_path_dijkstra",
-    "ivfpq_topk",
-    # displaced to make room for the round-3 batch-2 gates (pack_sequences /
-    # stratified_sample / regex_scan / one_hot_lang) while keeping
-    # sssp_weighted / dag_levels / k_core_3 / coreness (paths.py /
-    # plans/pregel.py changed this round) inside: celf rides influence.py
-    # (untouched since its r02 green); all_shortest_paths rides
-    # centrality.py's msbfs kernel — centrality.py is untouched since its
-    # r02 gate-green (see the displacement note at the top of this list);
-    # random_walks_biased shares walking with random_walks (gated);
-    # modularity_optimization's local-moving kernel is exercised by louvain
-    # (gated) — all four remain pytest-oracled every run
-    "celf", "all_shortest_paths", "random_walks_biased",
-    # displaced for the hashed_features / quality_classifier_scores gates:
-    # k1coloring's kernel is untouched this round (clustering.py's round-3
-    # change was kmeans init — kmeans stays gated); hashgnn's kernel is
-    # untouched (embeddings.py's round-3 change was node2vec — fastrp and
-    # the walk entries stay gated)
-    "k1coloring", "hashgnn",
-    # displaced for the session-4 gates (hits / k_core_3 /
-    # bigram_collocations / embedding_lsh_pairs): sssp_weighted and
-    # dag_levels ride paths.py, untouched in session 4 (their session-3
-    # paths.py changes are exercised by the gated sssp_delta /
-    # dag_topological_sort, which share the relaxation kernel); coreness's
-    # h-index kernel is untouched by session 4's k_core-only kcore.py edit
-    # (and the gated k_core_3 exercises the same file). All three remain
-    # pytest-oracled every run and were green in r02.
-    "sssp_weighted", "dag_levels", "coreness",
-    # driver-gated green in round 2 (CORRECTNESS_r02) AND entire code path
-    # untouched this round (not just the entry — dag_levels/k_core/coreness
-    # ride paths.py / plans/pregel.py, which round 3 changed, so they moved
-    # back inside the gate). Sized so first+mid == the 50-entry gate cap.
-    # closeness_wf/harmonic/closeness ride centrality.py's msbfs kernel;
-    # centrality.py is untouched since its r02 gate-green (oracle ×3 there,
-    # displacement rationale at the top of this list).
-    # maxkcut rides cut.py, also untouched since its r02 green — both
-    # displaced to make room for the round-3 pagerank_stats/wcc_stats gates
-    "closeness_wf", "harmonic", "closeness", "maxkcut",
-    # same-kernel VARIANTS of entries that stay gated (pagerank /
-    # label_propagation / wcc run the shared kernel inside the gate), moved
-    # out to make room for the round-3 function-surface gates while keeping
-    # bfs/sssp/dag_levels/k_core/coreness (paths.py / pregel.py changed
-    # this round) inside; all five remain pytest-oracled every run
+    # embeddings.py restructured (node2vec executor-resident trainer;
+    # node2vec itself is rows-only → run_ungated per policy 3) — the
+    # file's other kernels re-gate
+    "fastrp", "random_walks", "random_walks_biased",
+    # plans/pregel.py checkpoint layout now routes through
+    # TableFormat.child/list_children — the Pregel-checkpoint users
+    # re-gate as representatives
+    "pagerank", "wcc", "label_propagation",
+    # paths.py gained bellman_ford (appended; existing kernels untouched)
+    # — the r04 verdict named astar/dag_longest_path/sssp_delta/hits as
+    # the slots to return to value-hashed entries, and the rest of the
+    # file's entries ride along
+    "astar", "dag_longest_path", "sssp_delta", "hits",
+    "dag_topological_sort", "sssp_weighted", "dag_levels", "bfs",
+    "shortest_path_dijkstra",
+    # longest-ungated oracled entries (last gated r02, kernels untouched
+    # since — rotating them back through per policy 2's spirit)
+    "triangle_count", "node_similarity", "scc", "graphsage", "hashgnn",
+    "k1coloring", "maxkcut",
     "pagerank_weighted", "article_rank", "eigenvector",
     "label_propagation_weighted", "wcc_threshold",
-    "scale_minmax", "events_sessionize", "events_windowed_counts",
+    "degree_out", "degree_in_weighted",
+    "triangle_global", "local_clustering_coefficient",
+    "exact_duplicates", "collapse_path_2", "scale_minmax",
+]
+_GATE_LAST = [
+    # Everything below was driver-gated green in r03/r04 with kernels
+    # untouched this round (policy 2) — still value-hashed by
+    # tests/test_entry_oracle.py at every pytest run and by the sf0.01
+    # mirror; plus the rows-only entries (policy 3), all run at gate
+    # scale by scripts/run_ungated.py each round.
+    # r04-gated green, unchanged:
+    "embedding_near_duplicates", "knn_filtered", "kmeans",
+    "lm_buckets", "duplicate_spans", "remove_duplicate_spans",
+    "corpus_vocabulary", "tfidf_top_terms", "decontaminate", "hash_split",
+    "pack_sequences", "stratified_sample", "regex_scan", "one_hot_lang",
+    "hashed_features", "lm_score", "repetition_stats",
+    "pagerank_stats", "wcc_stats",
+    "similarity_functions_vec", "similarity_functions_set",
+    "link_prediction", "k_core_3", "bigram_collocations",
+    "embedding_lsh_pairs", "embedding_lsh_buckets",
+    "segment_dedup", "bm25_topk", "regex_redact", "shuffle_shards",
+    "token_budget_sample", "pq_codes", "pq_topk",
+    "hll_registers_lang", "hll_lang_distinct", "nchars_quantiles",
+    # r02/r03-gated green, unchanged kernels (text/event/dedup surfaces):
+    "ngram_jaccard_pairs", "simhash", "embedding_cosine_topk",
+    "split_relationships", "coreness",
+    "events_sessionize", "events_windowed_counts",
     "token_count", "token_count_bpe", "quality_score", "language_id",
-    "fingerprint", "exact_duplicates",
-    "modularity_nation", "conductance_nation", "collapse_path_2",
-    "triangle_global", "local_clustering_coefficient", "degree_out",
-    # rows-only (non-oracled) entries displaced by the round-3 additions:
-    # each is pytest-covered at sf0.001 AND was manually run at sf0.01 this
-    # round (scripts/run_ungated.py) to keep the runs-at-gate-scale claim
+    "fingerprint", "modularity_nation", "conductance_nation",
+    # rows-only (policy 3) — pytest-pinned, run_ungated at sf0.01:
     "dfs", "yens_k3", "spanning_tree", "sample_cnarw",
-    "label_propagation_gds_order",
-    # r02-gated green; only round-3 change to degree.py is an error-path
-    # reorder (review batch 2), hot path untouched
-    "degree_in_weighted",
-    # displaced for the session-5 gates (segment_dedup / bm25_topk): bfs was
-    # r02-gated green and paths.py is untouched since session 3, whose
-    # relaxation-kernel changes are exercised by the gated sssp_delta /
-    # dag_topological_sort. Remains pytest-oracled every run.
-    "bfs",
-    # displaced for the session-6 gates (regex_redact / shuffle_shards /
-    # token_budget_sample): session 6's engine change (strip_origin_stats
-    # on in-memory truncation) has a gated representative for each of its
-    # three mechanisms — Pregel memory mode (pagerank/wcc/label_propagation/
-    # scc all gated), LoopState (k_core_3 gated), louvain _Scratch memory
-    # mode (louvain gated). random_walks rides walking.py's LoopState
-    # (k_core_3 covers it), graphsage's unrolled gather has no loop
-    # truncation, bpe_token_count's merges are driver-side folds. All three
-    # remain pytest-oracled every run and were gate-green when last changed.
-    "random_walks", "graphsage", "bpe_token_count",
-    # same displacement rationale: scc's own kernel is untouched since its
-    # r02 gate-green and its Pregel-memory-mode substrate has three gated
-    # representatives (pagerank/wcc/label_propagation); fastrp's kernel is
-    # untouched since its r02 green (embeddings.py's round-3 change was
-    # node2vec-only) and its _Scratch truncation substrate is gated via
-    # louvain. Both remain pytest-oracled every run.
-    "scc", "fastrp",
-    # rows-only entries rotated out of the cap in session 8 (their slots
-    # went to the fully-oracled embedding_lsh_buckets / near_duplicate_keep
-    # / duplicate_spans / remove_duplicate_spans, now in _GATE_FIRST): a
-    # hash gate can only prove run-without-error for rows-only entries,
-    # which pytest already does every suite run — knn's NN-descent recall
-    # bound and ivf's equality-to-exact case are pytest-pinned directly
-    "sllpa", "quality_classifier_scores",
-    "knn_embeddings", "embedding_cosine_topk_ivf", "leiden",
+    "label_propagation_gds_order", "bpe_token_count", "bpe_encode_ids",
+    "sllpa", "quality_classifier_scores", "knn_embeddings",
+    "knn_filtered_nn_descent", "embedding_cosine_topk_ivf", "leiden",
+    "ivfpq_topk", "prepare_training_data",
 ]
 
 
