@@ -434,6 +434,27 @@ class Pregel:
         ``initial_state`` and every ``step_fn`` output must carry an
         ``_active`` int column; convergence is ``sum(_active) == 0``.
         """
+        # gds.beta.listProgress surface (progress.py): supersteps over
+        # max_iterations, reported off the counts the loop already
+        # observes — no extra jobs
+        from graph_data_science_spark import progress as _progress
+        self._progress_task = _progress.begin(
+            str((self.manifest or {}).get("algorithm", "pregel")),
+            volume_total=self.max_iterations)
+        try:
+            out = self._run_inner(initial_state, step_fn, resume)
+        except BaseException:
+            _progress.finish(self._progress_task, failed=True)
+            raise
+        _progress.finish(self._progress_task)
+        return out
+
+    def _run_inner(
+        self,
+        initial_state: DataFrame,
+        step_fn: Callable[[DataFrame, int], DataFrame],
+        resume: bool = False,
+    ) -> PregelResult:
         metrics: list[dict] = []
         #: live view for step_fn closures: algorithms that steer the NEXT
         #: superstep off the previous superstep's aggregates (e.g. A*'s
@@ -569,10 +590,12 @@ class Pregel:
             state = new_state
             converged = active == 0
             if self.checkpoint_dir:
-                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                os.makedirs(self.metadata_dir, exist_ok=True)
                 with open(self._metrics_path(), "a") as fh:
                     fh.write(json.dumps(rec) + "\n")
             metrics.append(rec)
+            from graph_data_science_spark import progress as _progress
+            _progress.update(self._progress_task, block_end + 1)
             superstep += block
 
         # drain the in-flight snapshot writer (memory mode) before returning
