@@ -102,6 +102,20 @@ def main() -> None:
         out["n_triangles"] = tc.global_count
         out["tc_eps"] = round(n_edges / out["tc_s"], 1)
 
+    if "betweenness" in algos:
+        # round-5 changed-kernel solo probe: sampled Brandes over the
+        # rewritten MSBFS (per-level scratch streams + exact-count
+        # broadcast gating). Deterministic source set = the k smallest
+        # node ids; work identical at every parallelism level.
+        from graph_data_science_spark.operators.centrality import betweenness
+        k_src = int(os.environ.get("SPARK_GRAFT_BC_SOURCES", "4"))
+        srcs = [r[0] for r in nodes.orderBy("node_id").limit(k_src).collect()]
+        t0 = time.monotonic()
+        bc = betweenness(g, sources=srcs, max_iterations=30)
+        bc.agg(F.sum("score")).first()
+        out["betweenness_s"] = round(time.monotonic() - t0, 3)
+        out["bc_sources"] = k_src
+
     print(json.dumps(out))
 
 
