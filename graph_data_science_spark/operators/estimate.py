@@ -633,6 +633,11 @@ ESTIMATOR_FOR_QUERY = {
     "quality_classifier_scores": "corpus_vocabulary",
     "dag_topological_sort": "dag_levels",    # same level-relaxation kernel
     "sssp_delta": "sssp",                    # same state; banded frontier schedule
+    # round-5 negative-weight Bellman-Ford: per-node (dist, pred) state —
+    # the sssp frontier-relaxation shape with one extra long column; the
+    # cycle-recovery phase runs over the (tiny) affected/landed subsets
+    "bellman_ford_negative": "sssp",
+    "bellman_ford_cycles": "sssp",
     # two occurrence-sized map-side-combinable n-gram aggs — the
     # corpus_vocabulary shuffle shape
     "repetition_stats": "corpus_vocabulary",
